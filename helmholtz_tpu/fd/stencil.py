@@ -1,0 +1,155 @@
+"""Fused, vectorized stencil materialization for the Helmholtz operator.
+
+TPU-native replacement for the reference's numba per-point assembly loops
+(`get_A_diag_block_coeffs` code.py:70-115, `get_upper/lower_A_block`
+code.py:130-154, `get_Hm_coeffs` code.py:223-279): all coefficients of the
+5-point stencil are evaluated as whole-grid `jnp` expressions that XLA fuses
+into a single pass (SURVEY.md sections 2.2, 3.2).  The stencil footprint is a
+parameter of the *representation* (`core.sparse.Stencil5`), so a 9-point
+variant is a second builder, not a rewrite.
+
+Coefficient sampling points (SURVEY.md Appendix B item 2, code.py:83-109):
+  cw (c1) at ((i-.5)h, jh)   with ratio s1/s2, prefactor 1/h^2
+  ce (c2) at ((i+.5)h, jh)   with ratio s1/s2
+  cs (c3) at (ih, (j-.5)h)   with ratio s2/s1
+  cn (c4) at (ih, (j+.5)h)   with ratio s2/s1
+  cc (c5) at (ih, jh):  omega^2/(s1*s2*c^2) - (c1+c2+c3+c4)
+where the c1..c4 in the cc sum are the *unmasked* values (computed at every
+point, including boundary points whose couplings are dropped).
+
+The structural identities cs[j] == cn[j-1] and cw[i] == ce[i-1] (the operator
+is complex-symmetric) are exploited by the roofline-optimal SpMV path.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.sparse import Stencil5
+from . import pml
+
+
+def _sample_velocity(c_full, i, j, fidelity):
+    """Velocity value used at stencil point (x1=i*h, x2=j*h).
+
+    `c_full` is the (n+2, n+2) velocity field with [row, col] = c(x=col*h,
+    y=row*h) (meshgrid convention, code.py:40-51).  i, j are 1-based index
+    arrays broadcastable to the output grid shape.
+
+    "as-shipped" reproduces the reference's `c_mat[i-1, j-1]` read
+    (code.py:108, 270): the velocity is sampled transposed and shifted one
+    grid point (SURVEY.md Appendix B item 3).  "corrected" samples the true
+    point: row=j (y=x2), col=i (x=x1).
+    """
+    if fidelity == "as-shipped":
+        return c_full[i - 1, j - 1]
+    elif fidelity == "corrected":
+        return c_full[j, i]
+    raise ValueError(f"unknown fidelity {fidelity!r}")
+
+
+def build_a_stencil(n, b, const, eta, omega, h, c_full, *,
+                    fidelity="as-shipped",
+                    complex_dtype=jnp.complex128) -> Stencil5:
+    """Assemble the global Helmholtz operator A as a Stencil5 on the (n, n)
+    grid — the vectorized equivalent of `build_A_matrix` (code.py:202-219).
+
+    A is complex-symmetric, 5-diagonal (offsets 0, +-1, +-n), nnz = 5n^2-4n.
+    """
+    cd = complex_dtype
+    i = jnp.arange(1, n + 1)                      # in-layer (x1), 1-based
+    j = jnp.arange(1, n + 1)[:, None]             # layer (x2), 1-based
+    inv_h2 = 1.0 / (h * h)
+
+    s1_m = pml.s1((i - 0.5) * h, const, eta, omega, cd)   # (n,)
+    s1_p = pml.s1((i + 0.5) * h, const, eta, omega, cd)
+    s1_c = pml.s1(i * h, const, eta, omega, cd)
+    s2_m = pml.s2((j - 0.5) * h, const, eta, omega, cd)   # (n, 1)
+    s2_p = pml.s2((j + 0.5) * h, const, eta, omega, cd)
+    s2_c = pml.s2(j * h, const, eta, omega, cd)
+
+    cw = inv_h2 * (s1_m / s2_c)               # (n, n): [layer, in-layer]
+    ce = inv_h2 * (s1_p / s2_c)
+    cs = inv_h2 * (s2_m / s1_c)
+    cn = inv_h2 * (s2_p / s1_c)
+
+    omega_c = jnp.asarray(omega, cd)
+    cvel = _sample_velocity(jnp.asarray(c_full), i[None, :], j, fidelity)
+    cc = omega_c**2 / (s1_c[None, :] * s2_c * cvel.astype(cd) ** 2) \
+        - (cw + ce + cs + cn)
+
+    # Dirichlet masking: zero couplings that leave the grid.
+    cw = cw.at[:, 0].set(0)
+    ce = ce.at[:, -1].set(0)
+    cs = cs.at[0, :].set(0)
+    cn = cn.at[-1, :].set(0)
+    return Stencil5(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn)
+
+
+def build_hm_stencils(n, b, const, eta, omega, h, c_full, *,
+                      fidelity="as-shipped",
+                      complex_dtype=jnp.complex128) -> Stencil5:
+    """Assemble the whole moving-PML subgrid family {H_m : m = b+1..n} in one
+    shot as a batched Stencil5 with fields of shape (M, b, n), M = n-b.
+
+    Vectorized equivalent of the reference's per-m `get_Hm` loop
+    (code.py:223-290, 349-352).  Key structural fact (SURVEY.md pml.s2m
+    docstring): the moved stretching s2m(j*h) = s2(l*h) depends only on the
+    *local* layer index l = j-(m-b) in 1..b, so the s2 factors are shared by
+    every m; only the velocity samples vary with m.
+
+    Batch index mi corresponds to m = b+1+mi; subgrid layers are the global
+    layers j = m-b+1..m; the subgrid boundary is Dirichlet on all sides
+    (coupling masks at l=1 and l=b; the layer-wraparound zeroing of the
+    reference, code.py:277-278, is automatic in the per-layer representation).
+    """
+    cd = complex_dtype
+    M = n - b
+    i = jnp.arange(1, n + 1)                       # in-layer, 1-based
+    l = jnp.arange(1, b + 1)[:, None]              # local layer, 1-based
+    m = jnp.arange(b + 1, n + 1)[:, None, None]    # batch of subgrid tops
+    inv_h2 = 1.0 / (h * h)
+
+    s1_m = pml.s1((i - 0.5) * h, const, eta, omega, cd)
+    s1_p = pml.s1((i + 0.5) * h, const, eta, omega, cd)
+    s1_c = pml.s1(i * h, const, eta, omega, cd)
+    # moved PML: s2m at global x2 = j*h equals s2 at local l*h.
+    s2_m = pml.s2((l - 0.5) * h, const, eta, omega, cd)   # (b, 1)
+    s2_p = pml.s2((l + 0.5) * h, const, eta, omega, cd)
+    s2_c = pml.s2(l * h, const, eta, omega, cd)
+
+    cw = jnp.broadcast_to(inv_h2 * (s1_m / s2_c), (M, b, n))
+    ce = jnp.broadcast_to(inv_h2 * (s1_p / s2_c), (M, b, n))
+    cs = jnp.broadcast_to(inv_h2 * (s2_m / s1_c), (M, b, n))
+    cn = jnp.broadcast_to(inv_h2 * (s2_p / s1_c), (M, b, n))
+
+    j_global = m - b + l                           # (M, b, 1), 1-based
+    omega_c = jnp.asarray(omega, cd)
+    cvel = _sample_velocity(jnp.asarray(c_full), i[None, None, :],
+                            j_global, fidelity)
+    cc = omega_c**2 / (s1_c[None, None, :] * s2_c[None] * cvel.astype(cd) ** 2) \
+        - (cw + ce + cs + cn)
+
+    cw = cw.at[:, :, 0].set(0)
+    ce = ce.at[:, :, -1].set(0)
+    cs = cs.at[:, 0, :].set(0)
+    cn = cn.at[:, -1, :].set(0)
+    return Stencil5(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn)
+
+
+def extract_hf_stencil(A: Stencil5, b: int, *,
+                       full_coupling: bool = True) -> Stencil5:
+    """H_F: the operator on the first b layers (code.py:178-183).
+
+    With `full_coupling=True` (the corrected semantics, SURVEY.md Appendix A
+    deviation D3) this is the true leading bn x bn principal submatrix of A:
+    the layer slice with the coupling out of the top layer dropped.  With
+    `full_coupling=False` it reproduces the as-shipped block-diagonal variant
+    (all interlayer couplings dropped).
+    """
+    sl = slice(0, b)
+    cs = A.cs[sl]
+    cn = A.cn[sl].at[b - 1, :].set(0)
+    if not full_coupling:
+        cs = jnp.zeros_like(cs)
+        cn = jnp.zeros_like(cn)
+    return Stencil5(cc=A.cc[sl], cw=A.cw[sl], ce=A.ce[sl], cs=cs, cn=cn)
