@@ -1,0 +1,248 @@
+"""Moving-PML sweeping preconditioner (Engquist-Ying Algorithms 2.3/2.4).
+
+TPU-native re-design of the reference's SuperLU-based implementation
+(code.py:345-385; SURVEY.md sections 3.3-3.4, 7.3):
+
+The reference factors each bn x bn subgrid matrix H_m with SuperLU and, per
+application, performs ~3(n-b) sparse triangular solves — the hot serial
+kernel.  The TPU formulation exploits that the sweep only ever needs
+
+    T~_m u  =  (H_m^{-1} [0; ...; 0; u])[last n entries]
+            =  G_m @ u,        G_m := (H_m^{-1})[b-th block, b-th block],
+
+i.e. each subgrid solve *is* a dense n x n matvec with the corner block of
+H_m^{-1}.  Since H_m is block-tridiagonal in its b layer-blocks (tridiagonal
+diagonal blocks, diagonal couplings), G_m = S_b^{-1} where S_l is the
+layer-Schur recursion S_l = H_ll - C_l S_{l-1}^{-1} C'_{l-1}.  Setup is
+therefore b dense n x n inversions per m — *batched over all m at once* on
+the MXU (the reference's n-b factorizations are embarrassingly parallel but
+serial in scipy, SURVEY.md section 3.3) — and each sweep step is one dense
+matvec instead of a SuperLU triangular solve.
+
+H_F (the leading bn x bn block) must be solved against full-length vectors,
+so it keeps a block-Thomas factorization: the stack T_l = S_l^{-1} of layer
+Schur-complement inverses, applied with forward/diagonal/backward passes
+(the same scheme as the reference's exact algo2_2, code.py:334-342, which is
+exact for block-tridiagonal matrices).
+
+Fidelity (SURVEY.md Appendix A): the *corrected* algorithm (deviations D2/D3
+fixed) is the default and reproduces the paper's 2-3 iteration convergence.
+`d2_replace=False` reproduces the as-shipped subtract-instead-of-replace
+diagonal step; the as-shipped block-diagonal H_F (D3) is selected at setup
+via `hf_full_coupling=False`.  D1 (preconditioning a fixed vector,
+code.py:510-511) is not a linear operator and is intentionally not part of
+the solver path; `apply_fixed_rhs` exposes it for emulation experiments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sparse import Stencil5
+from ..fd import stencil as fd_stencil
+
+
+def _dense_tridiag(cw, cc, ce):
+    """Dense (..., n, n) from per-layer tridiagonal fields (..., n).
+
+    cw is the sub-diagonal coupling (masked zero at i=0), ce the super
+    (masked at i=n-1), cc the main diagonal.
+    """
+    n = cc.shape[-1]
+    i = jnp.arange(n)
+    out = jnp.zeros((*cc.shape[:-1], n, n), cc.dtype)
+    out = out.at[..., i, i].set(cc)
+    out = out.at[..., i[1:], i[1:] - 1].set(cw[..., 1:])
+    out = out.at[..., i[:-1], i[:-1] + 1].set(ce[..., :-1])
+    return out
+
+
+def _schur_t_stack(H: Stencil5):
+    """Layer Schur-complement inverses T_l = S_l^{-1}, l = 0..L-1, for a
+    block-tridiagonal Stencil5 with fields (..., L, n).
+
+    S_0 = H_00;  S_l = H_ll - diag(cs_l) @ T_{l-1} @ diag(cn_{l-1}).
+    Returns T of shape (..., L, n, n).  The diagonal couplings turn the
+    Schur update into a row/column scaling of T_{l-1} — no SpGEMM needed.
+    """
+    Hd = _dense_tridiag(H.cw, H.cc, H.ce)        # (..., L, n, n)
+    L = H.cc.shape[-2]
+
+    T0 = jnp.linalg.inv(Hd[..., 0, :, :])
+
+    def step(T_prev, inputs):
+        Hll, cs_l, cn_lm1 = inputs
+        S = Hll - cs_l[..., :, None] * T_prev * cn_lm1[..., None, :]
+        T = jnp.linalg.inv(S)
+        return T, T
+
+    xs = (
+        jnp.moveaxis(Hd[..., 1:, :, :], -3, 0),
+        jnp.moveaxis(H.cs[..., 1:, :], -2, 0),
+        jnp.moveaxis(H.cn[..., :-1, :], -2, 0),
+    )
+    _, T_rest = jax.lax.scan(step, T0, xs)
+    T_rest = jnp.moveaxis(T_rest, 0, -3)
+    return jnp.concatenate([T0[..., None, :, :], T_rest], axis=-3)
+
+
+def _block_thomas_solve(T, cs, cn, rhs):
+    """Solve the block-tridiagonal system given its Schur-inverse stack.
+
+    T: (L, n, n); cs/cn: (L, n) diagonal couplings; rhs: (L, n) (or with a
+    trailing batch (..., L, n) via vmap).  Forward eliminate, then combined
+    diagonal+backward substitution — the algo2_2 scheme (code.py:334-342),
+    exact for block-tridiagonal systems.
+    """
+    def fwd(y_prev, inputs):
+        T_prev, cs_l, r_l = inputs
+        y = r_l - cs_l * (T_prev @ y_prev)
+        return y, y
+
+    _, y_rest = jax.lax.scan(fwd, rhs[0], (T[:-1], cs[1:], rhs[1:]))
+    y = jnp.concatenate([rhs[:1], y_rest], axis=0)
+
+    u_last = T[-1] @ y[-1]
+
+    def bwd(u_next, inputs):
+        T_l, cn_l, y_l = inputs
+        u = T_l @ (y_l - cn_l * u_next)
+        return u, u
+
+    _, u_rest = jax.lax.scan(bwd, u_last, (T[:-1], cn[:-1], y[:-1]),
+                             reverse=True)
+    return jnp.concatenate([u_rest, u_last[None]], axis=0)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["G", "TF", "hf_cs", "hf_cn", "a_cs", "a_cn"],
+    meta_fields=["b", "d2_replace"],
+)
+@dataclasses.dataclass(frozen=True)
+class SweepingPreconditioner:
+    """Factored state of the moving-PML sweeping preconditioner.
+
+    G    : (M, n, n), M = n-b — corner inverses G_m of each subgrid H_m;
+           G[k] acts on grid row j = b+k (0-based), i.e. the subgrid whose
+           top layer is j.  This replaces the reference's list of n-b
+           SuperLU factor objects (code.py:348-353).
+    TF   : (b, n, n) — block-Thomas Schur-inverse stack for H_F.
+    hf_*: H_F interlayer couplings; a_*: the global operator's interlayer
+           couplings (rows of A.cs / A.cn — code.py:499-507 equivalents).
+    """
+
+    G: jax.Array
+    TF: jax.Array
+    hf_cs: jax.Array
+    hf_cn: jax.Array
+    a_cs: jax.Array
+    a_cn: jax.Array
+    b: int
+    d2_replace: bool
+
+    @property
+    def grid_shape(self):
+        return self.a_cs.shape
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """LinearOperator-style matvec on a flat (N,) vector."""
+        L, n = self.grid_shape
+        return apply_preconditioner(self, x.reshape(L, n)).reshape(-1)
+
+
+def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
+                         hf_full_coupling: bool = True,
+                         d2_replace: bool = True,
+                         setup_chunk: int = 128) -> SweepingPreconditioner:
+    """Algorithm 2.3 analog: factor H_F and every H_m (code.py:345-353).
+
+    `hm` is the batched subgrid family from `fd.stencil.build_hm_stencils`
+    (fields (M, b, n)).  The per-m Schur recursions are independent and run
+    as one batched computation; `setup_chunk` bounds peak memory at
+    ~3 * chunk * n^2 complex words.
+    """
+    M = hm.cc.shape[0]
+
+    def corner_inverse(h_chunk: Stencil5):
+        T = _schur_t_stack(h_chunk)       # (chunk, b, n, n)
+        return T[:, -1]                   # G = S_b^{-1}
+
+    if M <= setup_chunk:
+        G = corner_inverse(hm)
+    else:
+        # pad M to a multiple of the chunk so lax.map gets equal slices
+        pad = (-M) % setup_chunk
+        hm_p = jax.tree.map(
+            lambda f: jnp.concatenate(
+                [f, jnp.broadcast_to(f[-1:], (pad, *f.shape[1:]))], axis=0),
+            hm)
+        hm_c = jax.tree.map(
+            lambda f: f.reshape(-1, setup_chunk, *f.shape[1:]), hm_p)
+        G = jax.lax.map(corner_inverse, hm_c)
+        G = G.reshape(-1, *G.shape[2:])[:M]
+
+    HF = fd_stencil.extract_hf_stencil(A, b, full_coupling=hf_full_coupling)
+    TF = _schur_t_stack(HF)
+
+    return SweepingPreconditioner(
+        G=G, TF=TF, hf_cs=HF.cs, hf_cn=HF.cn,
+        a_cs=A.cs, a_cn=A.cn, b=b, d2_replace=d2_replace)
+
+
+def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array) -> jax.Array:
+    """Algorithm 2.4 analog: one sweep solve u ~= A^{-1} f (code.py:356-385).
+
+    f has grid shape (L, n); returns the same shape.  Fully jittable; the
+    m-recursion runs as two `lax.scan`s of dense matvecs plus one batched
+    matmul for the diagonal step (SURVEY.md section 3.4).
+    """
+    b = P.b
+    u = f
+
+    # H_F solve + first correction: u_b -= A_{b+1,F} T_F u_F (code.py:364-365)
+    TFuF = _block_thomas_solve(P.TF, P.hf_cs, P.hf_cn, u[:b])
+    u = u.at[b].add(-P.a_cs[b] * TFuF[b - 1])
+
+    # forward sweep j = b+1..L-1: u_j -= cs_j * (G_{j-1} u_{j-1})
+    def fwd(prev, inputs):
+        cs_j, G_jm1, u_j = inputs
+        new = u_j - cs_j * (G_jm1 @ prev)
+        return new, new
+
+    _, u_fwd = jax.lax.scan(
+        fwd, u[b], (P.a_cs[b + 1:], P.G[:-1], u[b + 1:]))
+    u = jnp.concatenate([u[:b + 1], u_fwd], axis=0)
+
+    # diagonal step j = b..L-1 (batched):
+    #   corrected (D2 fixed): u_j  = G_j u_j      (paper's T~_m u_m)
+    #   as-shipped:           u_j -= G_j u_j      (code.py:375)
+    Gu = jnp.einsum("kij,kj->ki", P.G, u[b:])
+    u = u.at[b:].set(Gu if P.d2_replace else u[b:] - Gu)
+
+    # backward sweep j = L-2..b: u_j -= G_j (cn_j * u_{j+1})
+    def bwd(nxt, inputs):
+        cn_j, G_j, u_j = inputs
+        new = u_j - G_j @ (cn_j * nxt)
+        return new, new
+
+    _, u_bwd = jax.lax.scan(
+        bwd, u[-1], (P.a_cn[b:-1], P.G[:-1], u[b:-1]), reverse=True)
+    u = jnp.concatenate([u[:b], u_bwd, u[-1:]], axis=0)
+
+    # F-block closure: u_F = T_F u_F - T_F (A_{F,b+1} u_b)  (code.py:381-384)
+    rhs = jnp.zeros_like(TFuF).at[b - 1].set(P.a_cn[b - 1] * u[b])
+    uF = TFuF - _block_thomas_solve(P.TF, P.hf_cs, P.hf_cn, rhs)
+    return jnp.concatenate([uF, u[b:]], axis=0)
+
+
+def apply_fixed_rhs(P: SweepingPreconditioner, f_fixed: jax.Array):
+    """Reproduce deviation D1 (code.py:510-511): a 'preconditioner' that
+    ignores its argument and always sweeps the fixed RHS.  Returned for
+    emulation/diagnosis only — it is not a linear operator."""
+    L, n = P.grid_shape
+    u = apply_preconditioner(P, f_fixed.reshape(L, n)).reshape(-1)
+    return lambda _x: u

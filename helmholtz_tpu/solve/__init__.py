@@ -1,0 +1,1 @@
+from .gmres import KrylovResult, gmres

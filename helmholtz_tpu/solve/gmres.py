@@ -1,0 +1,182 @@
+"""Restarted GMRES(m) in pure JAX — the framework's Krylov driver.
+
+TPU-native replacement for the reference's `scipy.sparse.linalg.gmres` call
+(code.py:516; SURVEY.md section 2.2 row "SciPy GMRES"):
+
+  * the whole solve is one `jit`-compiled `lax.while_loop` nest — no
+    host round-trips per iteration;
+  * Arnoldi orthogonalization runs as batched complex dot products
+    (a (m+1, N) @ (N,) matmul against the whole Krylov buffer, MXU-friendly
+    and directly `psum`-able for the distributed path);
+  * the least-squares problem is solved incrementally with complex Givens
+    rotations, so the preconditioned residual norm is available every inner
+    iteration for scipy-compatible convergence checks and for the
+    `gmres_counter`-style residual history (code.py:413-420).
+
+Semantics match legacy scipy `tol`: left preconditioning, convergence on
+||M r|| <= rtol * ||M b||, restart default 20, zero initial guess
+(SURVEY.md Appendix B item 7).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "iterations", "converged", "breakdown", "residual_norm",
+                 "history"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class KrylovResult:
+    """Solve outcome + observability artifacts (SURVEY.md section 5,
+    'Metrics / logging')."""
+
+    x: jax.Array
+    iterations: jax.Array        # total inner iterations performed
+    converged: jax.Array         # bool
+    breakdown: jax.Array         # bool: happy breakdown / stagnation guard
+    residual_norm: jax.Array     # final preconditioned ||M(b - A x)||
+    history: jax.Array           # per-iteration preconditioned residuals
+                                 # (nan-padded to the static maxiter)
+
+
+def _givens(a, b):
+    """Complex Givens rotation zeroing b against a.
+
+    Returns (c, s, r) with c real, s complex such that
+      [c, s; -conj(s), c] @ [a; b] = [r; 0].
+    """
+    eps = jnp.finfo(jnp.abs(a).dtype).tiny
+    absa = jnp.abs(a)
+    denom = jnp.sqrt(absa**2 + jnp.abs(b) ** 2)
+    safe = denom > eps
+    denom_s = jnp.where(safe, denom, 1.0)
+    phase = jnp.where(absa > eps, a / jnp.where(absa > eps, absa, 1.0), 1.0)
+    c = jnp.where(safe, absa / denom_s, 1.0)
+    s = jnp.where(safe, phase * jnp.conj(b) / denom_s, 0.0 * b)
+    r = phase * denom
+    return c, s, r
+
+
+def gmres(matvec: Callable, b: jax.Array, *,
+          M: Optional[Callable] = None,
+          x0: Optional[jax.Array] = None,
+          restart: int = 20,
+          rtol: float = 1e-3,
+          atol: float = 0.0,
+          maxiter: int = 1000) -> KrylovResult:
+    """Left-preconditioned restarted GMRES. `matvec`/`M` map (N,) -> (N,).
+
+    Fully jittable: restart/maxiter are static, everything else traced.
+    """
+    if M is None:
+        M = lambda v: v
+    N = b.shape[0]
+    dtype = b.dtype
+    rdtype = jnp.finfo(dtype).dtype
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    Mb = M(b)
+    bnorm = jnp.linalg.norm(Mb)
+    tol = jnp.maximum(rtol * bnorm, atol).astype(rdtype)
+    n_outer = -(-maxiter // restart)
+    hist_len = n_outer * restart
+
+    def inner_cond(state):
+        j, _, _, _, _, _, _, res, brk = state
+        return (j < restart) & (res > tol) & (~brk)
+
+    def inner_step(state):
+        j, V, H, cs, sn, g, _, _, brk = state
+        # Arnoldi: one batched projection against the whole Krylov buffer.
+        w = M(matvec(V[j]))
+        h = jnp.conj(V) @ w                       # (restart+1,) — rows > j are 0
+        w = w - h @ V
+        # one re-orthogonalization pass for fp32 robustness
+        h2 = jnp.conj(V) @ w
+        w = w - h2 @ V
+        h = h + h2
+        hnorm = jnp.linalg.norm(w)
+        happy = hnorm <= jnp.finfo(rdtype).eps * 100 * bnorm
+        V = V.at[j + 1].set(jnp.where(happy, 0.0, w / jnp.where(happy, 1.0, hnorm)))
+        h = h.at[j + 1].set(hnorm.astype(dtype))
+
+        # apply the accumulated rotations to the new column
+        def rot_body(i, hcol):
+            hi, hi1 = hcol[i], hcol[i + 1]
+            hcol = hcol.at[i].set(cs[i] * hi + sn[i] * hi1)
+            return hcol.at[i + 1].set(-jnp.conj(sn[i]) * hi + cs[i] * hi1)
+        h = jax.lax.fori_loop(0, j, rot_body, h)
+
+        c_new, s_new, r_new = _givens(h[j], h[j + 1])
+        h = h.at[j].set(r_new).at[j + 1].set(0.0)
+        cs = cs.at[j].set(c_new.astype(rdtype))
+        sn = sn.at[j].set(s_new)
+        gj = g[j]
+        g = g.at[j].set(c_new * gj).at[j + 1].set(-jnp.conj(s_new) * gj)
+        H = H.at[:, j].set(h)
+        res = jnp.abs(g[j + 1])
+        # happy breakdown: the Krylov space is exact; residual is |g[j+1]|
+        return (j + 1, V, H, cs, sn, g, j + 1, res, brk | happy)
+
+    def outer_cond(state):
+        _, iters, done, _, _ = state
+        return (~done) & (iters < maxiter)
+
+    def outer_step(state):
+        x, iters, _, stalled, history = state
+        r = M(b - matvec(x))
+        beta = jnp.linalg.norm(r)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+
+        V = jnp.zeros((restart + 1, N), dtype).at[0].set(r / safe_beta)
+        H = jnp.zeros((restart + 1, restart), dtype)
+        cs = jnp.zeros((restart,), rdtype)
+        sn = jnp.zeros((restart,), dtype)
+        g = jnp.zeros((restart + 1,), dtype).at[0].set(beta.astype(dtype))
+
+        init = (0, V, H, cs, sn, g, 0, beta, beta == 0.0)
+        j, V, H, cs, sn, g, k, res, brk = jax.lax.while_loop(
+            inner_cond, inner_step, init)
+
+        # record the per-iteration residual history from the Givens recurrence
+        step_hist = jnp.where(
+            jnp.arange(restart) < k,
+            jnp.abs(g[1:]),
+            jnp.nan,
+        )
+        history = jax.lax.dynamic_update_slice(history, step_hist, (iters,))
+
+        # back-substitution on the k x k leading system (masked to full size)
+        mask = jnp.arange(restart) < k
+        Hs = jnp.where(jnp.eye(restart, dtype=bool) & ~mask[None, :],
+                       jnp.ones((), dtype), H[:restart, :])
+        y = jax.scipy.linalg.solve_triangular(
+            Hs, jnp.where(mask, g[:restart], 0.0), lower=False)
+        x = x + y @ V[:restart]
+
+        done = res <= tol
+        # stagnation guard: a breakdown restart that did not converge will
+        # not improve on repeat — stop instead of spinning (SURVEY.md
+        # section 5 'failure detection').
+        stalled = brk & ~done
+        return (x, iters + k, done | stalled, stalled, history)
+
+    history0 = jnp.full((hist_len,), jnp.nan, rdtype)
+    x, iters, done, stalled, history = jax.lax.while_loop(
+        outer_cond, outer_step, (x0, 0, bnorm <= tol, False, history0))
+
+    final_res = jnp.linalg.norm(M(b - matvec(x)))
+    return KrylovResult(x=x, iterations=iters,
+                        converged=final_res <= tol,
+                        breakdown=stalled,
+                        residual_norm=final_res,
+                        history=history)

@@ -1,0 +1,87 @@
+"""GMRES oracle tests: exactness on small systems, scipy-comparable iteration
+behavior on the Helmholtz problem (SURVEY.md section 4 'solve oracles')."""
+import numpy as np
+import pytest
+import scipy.sparse.linalg
+
+import jax.numpy as jnp
+
+from helmholtz_tpu import HelmholtzConfig, assemble_problem, stencil_matvec_flat
+from helmholtz_tpu.solve import gmres
+
+
+def _random_system(n, seed=0, diag_boost=4.0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = A + diag_boost * np.sqrt(n) * np.eye(n)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    return A, b
+
+
+def test_gmres_matches_direct_solve():
+    A, b = _random_system(120)
+    res = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                restart=30, rtol=1e-12, maxiter=600)
+    x_direct = np.linalg.solve(A, b)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_direct, rtol=1e-8)
+
+
+def test_gmres_residual_history_monotone_and_scipy_comparable():
+    A, b = _random_system(150, seed=1)
+    rtol = 1e-8
+    res = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                restart=20, rtol=rtol, maxiter=400)
+    hist = np.asarray(res.history)
+    hist = hist[~np.isnan(hist)]
+    assert len(hist) == int(res.iterations)
+    # non-increasing within fp tolerance (GMRES minimizes the residual)
+    assert np.all(np.diff(hist) <= 1e-8 * hist[:-1] + 1e-12)
+
+    counter = []
+    scipy.sparse.linalg.gmres(A, b, rtol=rtol, restart=20,
+                              callback=lambda rk: counter.append(rk),
+                              callback_type="pr_norm", maxiter=400)
+    assert abs(int(res.iterations) - len(counter)) <= max(3, len(counter) // 5)
+
+
+def test_gmres_left_preconditioning():
+    A, b = _random_system(100, seed=2, diag_boost=1.0)
+    Minv = np.linalg.inv(A + 0.1 * np.eye(100))  # good approximate inverse
+    res = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                M=lambda v: jnp.asarray(Minv) @ v,
+                restart=20, rtol=1e-10, maxiter=200)
+    assert bool(res.converged)
+    assert int(res.iterations) < 25  # strong preconditioner => few iterations
+    x_direct = np.linalg.solve(A, b)
+    np.testing.assert_allclose(np.asarray(res.x), x_direct, rtol=1e-6)
+
+
+def test_gmres_zero_rhs():
+    A, _ = _random_system(50)
+    res = gmres(lambda v: jnp.asarray(A) @ v, jnp.zeros(50, complex))
+    assert bool(res.converged)
+    assert int(res.iterations) == 0
+    np.testing.assert_array_equal(np.asarray(res.x), 0)
+
+
+@pytest.mark.parametrize("rtol", [3e-2])
+def test_gmres_helmholtz_unpreconditioned_tracks_scipy(rtol):
+    """Unpreconditioned GMRES on the true Helmholtz matrix: our iteration
+    count must track scipy's on the identical matrix (SURVEY.md section 4
+    oracle 2).  Loose tol keeps the test fast; the full 1e-3 run at n=63
+    takes ~9447 iterations (BASELINE.md)."""
+    cfg = HelmholtzConfig(n=31, b=8, wave_num=2.0, const=30.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    A = prob.A.toscipy()
+    f = np.asarray(prob.f_vec)
+
+    counter = []
+    scipy.sparse.linalg.gmres(A, f, rtol=rtol, restart=20, maxiter=5000,
+                              callback=lambda rk: counter.append(rk),
+                              callback_type="pr_norm")
+    res = gmres(lambda v: stencil_matvec_flat(prob.A, v), jnp.asarray(f),
+                restart=20, rtol=rtol, maxiter=5000)
+    true_res = np.linalg.norm(A @ np.asarray(res.x) - f) / np.linalg.norm(f)
+    assert true_res <= rtol * 1.01
+    assert abs(int(res.iterations) - len(counter)) <= max(5, len(counter) // 4)

@@ -1,0 +1,105 @@
+"""Sweeping-preconditioner oracles (SURVEY.md section 4):
+factorization exactness, corner-inverse parity with dense linear algebra,
+and the headline 2-3-iteration GMRES convergence (Appendix A verification
+matrix)."""
+import numpy as np
+import pytest
+import scipy.sparse.linalg
+
+import jax.numpy as jnp
+
+from helmholtz_tpu import HelmholtzConfig, assemble_problem, stencil_matvec_flat
+from helmholtz_tpu.fd import stencil
+from helmholtz_tpu.precond import (factor_exact, rebuild_error,
+                                   setup_preconditioner)
+from helmholtz_tpu.solve import gmres
+
+import reference_oracle as oracle
+
+
+def _setup(n, b, wave_num, const, problem="c1_f1", **pk):
+    cfg = HelmholtzConfig(n=n, b=b, wave_num=wave_num, const=const)
+    prob = assemble_problem(cfg, problem)
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    P = setup_preconditioner(prob.A, hm, cfg.b, **pk)
+    return cfg, prob, P
+
+
+def test_exact_factorization_solves_exactly():
+    # algo2_1/2_2 oracle: solve == direct sparse solve to ~1e-12
+    cfg = HelmholtzConfig(n=31, b=8, wave_num=2.0, const=30.0)
+    prob = assemble_problem(cfg)
+    F = factor_exact(prob.A)
+    f = np.asarray(prob.f_vec)
+    u = np.asarray(F(jnp.asarray(f)))
+    A = prob.A.toscipy().tocsc()
+    u_direct = scipy.sparse.linalg.spsolve(A, f)
+    np.testing.assert_allclose(u, u_direct, rtol=1e-10)
+    # factor self-check (code.py:309-330 analog): A @ A^{-1} == I
+    assert float(rebuild_error(prob.A, F)) < 1e-9
+
+
+def test_corner_inverse_matches_dense():
+    # G_m must equal the (b,b) corner block of the dense H_m inverse
+    cfg, prob, P = _setup(n=15, b=4, wave_num=2.0, const=20.0)
+    c_full = oracle.velocity_c1(0.5, 0.5, cfg.n)
+    n, b = cfg.n, cfg.b
+    for k, m in enumerate(range(b + 1, n + 1)):
+        H = oracle.build_hm_dense(m, n, b, cfg.const, cfg.eta, cfg.omega,
+                                  cfg.h, c_full)
+        Ginv = np.linalg.inv(H)[-n:, -n:]
+        np.testing.assert_allclose(np.asarray(P.G[k]), Ginv,
+                                   rtol=1e-9, atol=1e-9 * np.abs(Ginv).max())
+
+
+def test_hf_solve_matches_direct():
+    cfg, prob, P = _setup(n=15, b=4, wave_num=2.0, const=20.0)
+    bn = cfg.b * cfg.n
+    A_dense = prob.A.todense()[:bn, :bn]
+    rng = np.random.default_rng(3)
+    rhs = rng.standard_normal((cfg.b, cfg.n)) + 1j * rng.standard_normal((cfg.b, cfg.n))
+    from helmholtz_tpu.precond.sweeping import _block_thomas_solve
+    u = np.asarray(_block_thomas_solve(P.TF, P.hf_cs, P.hf_cn,
+                                       jnp.asarray(rhs)))
+    u_direct = np.linalg.solve(A_dense, rhs.reshape(-1)).reshape(cfg.b, cfg.n)
+    np.testing.assert_allclose(u, u_direct, rtol=1e-9)
+
+
+@pytest.mark.parametrize("n,b,wn,C,max_iters", [
+    (31, 12, 2.0, 30.0, 4),   # SURVEY 6.2: corrected converges in 3
+    (63, 12, 4.0, 61.0, 4),   # SURVEY 6.2: corrected converges in 3
+])
+def test_corrected_sweep_converges_in_few_iterations(n, b, wn, C, max_iters):
+    cfg, prob, P = _setup(n=n, b=b, wave_num=wn, const=C)
+    res = gmres(lambda v: stencil_matvec_flat(prob.A, v), prob.f_vec,
+                M=P, restart=20, rtol=1e-3, maxiter=200)
+    A = prob.A.toscipy()
+    f = np.asarray(prob.f_vec)
+    true_res = np.linalg.norm(A @ np.asarray(res.x) - f) / np.linalg.norm(f)
+    assert bool(res.converged)
+    assert int(res.iterations) <= max_iters, int(res.iterations)
+    assert true_res <= 1.5e-3
+
+
+def test_d3_blockdiag_hf_degrades_to_tens_of_iterations():
+    # Appendix A verification matrix: fix D1+D2, keep D3 -> 37 iters at n=63
+    cfg, prob, P = _setup(n=63, b=12, wave_num=4.0, const=61.0,
+                          hf_full_coupling=False)
+    res = gmres(lambda v: stencil_matvec_flat(prob.A, v), prob.f_vec,
+                M=P, restart=20, rtol=1e-3, maxiter=400)
+    assert bool(res.converged)
+    assert 15 <= int(res.iterations) <= 80, int(res.iterations)
+
+
+def test_preconditioner_is_linear():
+    cfg, prob, P = _setup(n=31, b=8, wave_num=2.0, const=30.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(cfg.n**2)
+                    + 1j * rng.standard_normal(cfg.n**2))
+    y = jnp.asarray(rng.standard_normal(cfg.n**2)
+                    + 1j * rng.standard_normal(cfg.n**2))
+    lhs = np.asarray(P(2.0 * x + 3.0 * y))
+    rhs = 2.0 * np.asarray(P(x)) + 3.0 * np.asarray(P(y))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10, atol=1e-12)
