@@ -1,0 +1,198 @@
+"""High-level driver: the `run_solver` equivalent (code.py:424-541).
+
+Three jit-compiled stages — assemble, factor, solve — with all complex data
+crossing stage boundaries as split-real `CArray` pairs (see
+`core.complexlib`).  Static configuration (grid size, PML width, restart,
+fidelity switches) is compile-time; physical parameters (wave number, C,
+alpha, tolerance) are traced, so a C-sweep or frequency sweep reuses the
+compiled executables.
+
+Every reference tunable maps 1:1 (SURVEY.md section 2.4):
+  run_solver(n, b, wave_num, const, alpha, init_func, plot_solution)
+      -> run_solver(n=..., b=..., wave_num=..., const=..., alpha=...,
+                    problem="c1_f1", plot_solution=...)
+plus solver knobs (rtol/restart/maxiter), preconditioner selection
+(none | moving_pml | exact), and fidelity switches.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.complexlib import complexify, pairify
+from .fd import problems as fd_problems
+from .fd import stencil as fd_stencil
+from .ops.spmv import stencil_matvec_flat
+from .precond.exact import factor_exact
+from .precond.sweeping import setup_preconditioner
+from .solve.gmres import gmres
+
+
+def default_complex_dtype():
+    """complex64 in flight on TPU (no native c128); complex128 on CPU when
+    x64 is enabled (the oracle configuration)."""
+    if jax.default_backend() == "cpu" and jax.config.jax_enable_x64:
+        return jnp.complex128
+    return jnp.complex64
+
+
+@partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity", "cdtype"))
+def _assemble_stage(wave_num, const, alpha, *, n, b, problem, fidelity,
+                    cdtype):
+    omega = (2.0 * jnp.pi * wave_num + 1j * alpha).astype(cdtype)
+    h = 1.0 / (n + 1)
+    eta = b * h
+    c_full, f_grid = fd_problems.PROBLEMS[problem](
+        omega, n, complex_dtype=cdtype)
+    A = fd_stencil.build_a_stencil(n, b, const, eta, omega, h, c_full,
+                                   fidelity=fidelity, complex_dtype=cdtype)
+    hm = fd_stencil.build_hm_stencils(n, b, const, eta, omega, h, c_full,
+                                      fidelity=fidelity, complex_dtype=cdtype)
+    return pairify((A, hm, f_grid.astype(cdtype))), c_full
+
+
+@partial(jax.jit, static_argnames=("b", "hf_full_coupling", "d2_replace",
+                                   "setup_chunk"))
+def _factor_stage(A_pair, hm_pair, *, b, hf_full_coupling, d2_replace,
+                  setup_chunk):
+    A, hm = complexify((A_pair, hm_pair))
+    P = setup_preconditioner(A, hm, b, hf_full_coupling=hf_full_coupling,
+                             d2_replace=d2_replace, setup_chunk=setup_chunk)
+    return pairify(P)
+
+
+@partial(jax.jit, static_argnames=("b",))
+def _factor_exact_stage(A_pair, *, b):
+    return pairify(factor_exact(complexify(A_pair)))
+
+
+@partial(jax.jit, static_argnames=("restart", "maxiter", "use_precond"))
+def _solve_stage(A_pair, P_pair, f_pair, rtol, *, restart, maxiter,
+                 use_precond):
+    A, f = complexify((A_pair, f_pair))
+    # P already stores split-real CArrays internally — pass through as-is
+    # (complexifying it would materialize the ~GB-scale complex G).
+    M = P_pair if use_precond else None
+    res = gmres(lambda v: stencil_matvec_flat(A, v), f.reshape(-1),
+                M=M, restart=restart, rtol=rtol, maxiter=maxiter)
+    return pairify(res)
+
+
+@dataclasses.dataclass
+class SolveReport:
+    """Host-side result record (SURVEY.md section 5 'metrics/observability')."""
+
+    u: np.ndarray                 # solution on the (n, n) grid, complex
+    iterations: int
+    converged: bool
+    residual_norm: float          # final preconditioned residual
+    true_residual: float          # ||A u - f|| / ||f|| (recomputed)
+    history: np.ndarray           # per-iteration preconditioned residuals
+    init_time: float              # assembly + factorization (reference split,
+                                  # code.py:522-525)
+    solve_time: float
+    config: dict
+
+    def metrics(self) -> dict:
+        return {
+            "iterations": self.iterations,
+            "converged": self.converged,
+            "true_residual": self.true_residual,
+            "init_time_s": self.init_time,
+            "solve_time_s": self.solve_time,
+            **self.config,
+        }
+
+
+def run_solver(n: int, b: int, wave_num: float, const: float,
+               alpha: float = 2.0, problem: str = "c1_f1", *,
+               rtol: float = 1e-3, restart: int = 20,
+               maxiter: Optional[int] = None,
+               precond: str = "moving_pml",
+               fidelity: str = "as-shipped",
+               hf_full_coupling: bool = True,
+               d2_replace: bool = True,
+               setup_chunk: int = 128,
+               complex_dtype=None,
+               plot_solution: bool = False) -> SolveReport:
+    """End-to-end preconditioned solve — the reference's entry point
+    (code.py:424-541) rebuilt on the staged jit pipeline."""
+    cdtype = complex_dtype or default_complex_dtype()
+    maxiter = maxiter if maxiter is not None else (200 if precond != "none"
+                                                  else 20_000)
+    t0 = time.perf_counter()
+    (A_pair, hm_pair, f_pair), _ = _assemble_stage(
+        jnp.asarray(wave_num, jnp.result_type(float)),
+        jnp.asarray(const, jnp.result_type(float)),
+        jnp.asarray(alpha, jnp.result_type(float)),
+        n=n, b=b, problem=problem, fidelity=fidelity, cdtype=cdtype)
+
+    use_precond = precond != "none"
+    if precond == "moving_pml":
+        P_pair = _factor_stage(A_pair, hm_pair, b=b,
+                               hf_full_coupling=hf_full_coupling,
+                               d2_replace=d2_replace,
+                               setup_chunk=setup_chunk)
+    elif precond == "exact":
+        P_pair = _factor_exact_stage(A_pair, b=b)
+    elif precond == "none":
+        P_pair = None
+    else:
+        raise ValueError(f"unknown precond {precond!r}")
+    jax.block_until_ready((A_pair, P_pair if use_precond else f_pair))
+    t1 = time.perf_counter()
+
+    res_pair = _solve_stage(A_pair, P_pair, f_pair,
+                            jnp.asarray(rtol, jnp.result_type(float)),
+                            restart=restart, maxiter=maxiter,
+                            use_precond=use_precond)
+    jax.block_until_ready(res_pair)
+    t2 = time.perf_counter()
+
+    u = res_pair.x.to_np().reshape(n, n)
+    f_np = f_pair.to_np().reshape(-1)
+    # true residual via the (host) oracle SpMV on the assembled operator
+    from .core.complexlib import tree_to_np
+    A_np = tree_to_np(A_pair)
+    Au = _host_stencil_matvec(A_np, u)
+    true_res = float(np.linalg.norm(Au.reshape(-1) - f_np)
+                     / np.linalg.norm(f_np))
+
+    history = np.asarray(res_pair.history)
+    history = history[~np.isnan(history)]
+
+    report = SolveReport(
+        u=u,
+        iterations=int(res_pair.iterations),
+        converged=bool(res_pair.converged),
+        residual_norm=float(res_pair.residual_norm),
+        true_residual=true_res,
+        history=history,
+        init_time=t1 - t0,
+        solve_time=t2 - t1,
+        config=dict(n=n, b=b, wave_num=wave_num, const=const, alpha=alpha,
+                    problem=problem, rtol=rtol, restart=restart,
+                    precond=precond, fidelity=fidelity,
+                    dtype=str(np.dtype(cdtype))),
+    )
+    if plot_solution:
+        from . import viz
+        viz.plot_solution(report)
+    return report
+
+
+def _host_stencil_matvec(A_np, u):
+    """Numpy stencil apply for host-side residual verification."""
+    cc, cw, ce, cs, cn = (A_np.cc, A_np.cw, A_np.ce, A_np.cs, A_np.cn)
+    out = cc * u
+    out[:, 1:] += cw[:, 1:] * u[:, :-1]
+    out[:, :-1] += ce[:, :-1] * u[:, 1:]
+    out[1:, :] += cs[1:, :] * u[:-1, :]
+    out[:-1, :] += cn[:-1, :] * u[1:, :]
+    return out

@@ -20,6 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..core.complexlib import CArray
 from ..core.sparse import Stencil5
 from .sweeping import _block_thomas_solve, _schur_t_stack
 
@@ -31,15 +32,18 @@ from .sweeping import _block_thomas_solve, _schur_t_stack
 )
 @dataclasses.dataclass(frozen=True)
 class ExactFactorization:
-    """T[m] = S_m^{-1} for every layer, plus the interlayer couplings."""
+    """T[m] = S_m^{-1} for every layer, plus the interlayer couplings.
 
-    T: jax.Array    # (L, n, n)
-    cs: jax.Array   # (L, n)
-    cn: jax.Array   # (L, n)
+    Split-real storage (core.complexlib) — this stack is the framework's
+    O(n^3)-memory oracle object."""
+
+    T: CArray    # (L, n, n)
+    cs: CArray   # (L, n)
+    cn: CArray   # (L, n)
 
     def solve(self, f: jax.Array) -> jax.Array:
         """u = A^{-1} f for grid-shaped f (L, n) — algo2_2 analog."""
-        return _block_thomas_solve(self.T, self.cs, self.cn, f)
+        return _block_thomas_solve(self.T.cplx, self.cs.cplx, self.cn.cplx, f)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         L, n = self.cs.shape
@@ -48,7 +52,8 @@ class ExactFactorization:
 
 def factor_exact(A: Stencil5) -> ExactFactorization:
     """Algorithm 2.1 analog: the full layer-Schur recursion over A."""
-    return ExactFactorization(T=_schur_t_stack(A), cs=A.cs, cn=A.cn)
+    return ExactFactorization(T=CArray.of(_schur_t_stack(A)),
+                              cs=CArray.of(A.cs), cn=CArray.of(A.cn))
 
 
 def rebuild_error(A: Stencil5, F: ExactFactorization) -> jax.Array:

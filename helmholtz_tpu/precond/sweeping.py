@@ -41,6 +41,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..core.complexlib import CArray
 from ..core.sparse import Stencil5
 from ..fd import stencil as fd_stencil
 
@@ -67,26 +68,55 @@ def _schur_t_stack(H: Stencil5):
     S_0 = H_00;  S_l = H_ll - diag(cs_l) @ T_{l-1} @ diag(cn_{l-1}).
     Returns T of shape (..., L, n, n).  The diagonal couplings turn the
     Schur update into a row/column scaling of T_{l-1} — no SpGEMM needed.
-    """
-    Hd = _dense_tridiag(H.cw, H.cc, H.ce)        # (..., L, n, n)
-    L = H.cc.shape[-2]
 
-    T0 = jnp.linalg.inv(Hd[..., 0, :, :])
+    The dense (n, n) diagonal block is materialized per scan step from its
+    three coefficient rows, so peak memory is O(batch * n^2) regardless of
+    L (materializing all L blocks up front OOMs at n=1023, where one
+    (chunk, b, n, n) buffer alone is ~13 GB).
+    """
+    T0 = jnp.linalg.inv(
+        _dense_tridiag(H.cw[..., 0, :], H.cc[..., 0, :], H.ce[..., 0, :]))
 
     def step(T_prev, inputs):
-        Hll, cs_l, cn_lm1 = inputs
-        S = Hll - cs_l[..., :, None] * T_prev * cn_lm1[..., None, :]
+        cw_l, cc_l, ce_l, cs_l, cn_lm1 = inputs
+        S = (_dense_tridiag(cw_l, cc_l, ce_l)
+             - cs_l[..., :, None] * T_prev * cn_lm1[..., None, :])
         T = jnp.linalg.inv(S)
         return T, T
 
     xs = (
-        jnp.moveaxis(Hd[..., 1:, :, :], -3, 0),
+        jnp.moveaxis(H.cw[..., 1:, :], -2, 0),
+        jnp.moveaxis(H.cc[..., 1:, :], -2, 0),
+        jnp.moveaxis(H.ce[..., 1:, :], -2, 0),
         jnp.moveaxis(H.cs[..., 1:, :], -2, 0),
         jnp.moveaxis(H.cn[..., :-1, :], -2, 0),
     )
     _, T_rest = jax.lax.scan(step, T0, xs)
     T_rest = jnp.moveaxis(T_rest, 0, -3)
     return jnp.concatenate([T0[..., None, :, :], T_rest], axis=-3)
+
+
+def _schur_corner_inverse(H: Stencil5):
+    """T_{L-1} = S_{L-1}^{-1} only (the subgrid corner inverse G_m), without
+    stacking the intermediate T_l — peak memory one (batch, n, n) carry."""
+    T0 = jnp.linalg.inv(
+        _dense_tridiag(H.cw[..., 0, :], H.cc[..., 0, :], H.ce[..., 0, :]))
+
+    def step(T_prev, inputs):
+        cw_l, cc_l, ce_l, cs_l, cn_lm1 = inputs
+        S = (_dense_tridiag(cw_l, cc_l, ce_l)
+             - cs_l[..., :, None] * T_prev * cn_lm1[..., None, :])
+        return jnp.linalg.inv(S), None
+
+    xs = (
+        jnp.moveaxis(H.cw[..., 1:, :], -2, 0),
+        jnp.moveaxis(H.cc[..., 1:, :], -2, 0),
+        jnp.moveaxis(H.ce[..., 1:, :], -2, 0),
+        jnp.moveaxis(H.cs[..., 1:, :], -2, 0),
+        jnp.moveaxis(H.cn[..., :-1, :], -2, 0),
+    )
+    T_last, _ = jax.lax.scan(step, T0, xs)
+    return T_last
 
 
 def _block_thomas_solve(T, cs, cn, rhs):
@@ -126,6 +156,10 @@ def _block_thomas_solve(T, cs, cn, rhs):
 class SweepingPreconditioner:
     """Factored state of the moving-PML sweeping preconditioner.
 
+    All fields are split-real `CArray`s — this is the framework's largest
+    at-rest state (G is ~8.5 GB at n=1023) and must be storable in TPU HBM,
+    which has no complex buffer type (core.complexlib).
+
     G    : (M, n, n), M = n-b — corner inverses G_m of each subgrid H_m;
            G[k] acts on grid row j = b+k (0-based), i.e. the subgrid whose
            top layer is j.  This replaces the reference's list of n-b
@@ -135,12 +169,12 @@ class SweepingPreconditioner:
            couplings (rows of A.cs / A.cn — code.py:499-507 equivalents).
     """
 
-    G: jax.Array
-    TF: jax.Array
-    hf_cs: jax.Array
-    hf_cn: jax.Array
-    a_cs: jax.Array
-    a_cn: jax.Array
+    G: CArray
+    TF: CArray
+    hf_cs: CArray
+    hf_cn: CArray
+    a_cs: CArray
+    a_cn: CArray
     b: int
     d2_replace: bool
 
@@ -165,32 +199,49 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
     as one batched computation; `setup_chunk` bounds peak memory at
     ~3 * chunk * n^2 complex words.
     """
-    M = hm.cc.shape[0]
-
-    def corner_inverse(h_chunk: Stencil5):
-        T = _schur_t_stack(h_chunk)       # (chunk, b, n, n)
-        return T[:, -1]                   # G = S_b^{-1}
+    M, _, n = hm.cc.shape
+    # bound peak setup memory: a few (chunk, n, n) complex buffers live
+    # inside the batched inverse, so scale the chunk down with the grid.
+    setup_chunk = max(4, min(setup_chunk, int(4.5e7) // (n * n)))
 
     if M <= setup_chunk:
-        G = corner_inverse(hm)
+        G = _schur_corner_inverse(hm)
     else:
-        # pad M to a multiple of the chunk so lax.map gets equal slices
-        pad = (-M) % setup_chunk
-        hm_p = jax.tree.map(
-            lambda f: jnp.concatenate(
-                [f, jnp.broadcast_to(f[-1:], (pad, *f.shape[1:]))], axis=0),
-            hm)
-        hm_c = jax.tree.map(
-            lambda f: f.reshape(-1, setup_chunk, *f.shape[1:]), hm_p)
-        G = jax.lax.map(corner_inverse, hm_c)
-        G = G.reshape(-1, *G.shape[2:])[:M]
+        # Chunked fori_loop writing the split-real G buffers in place
+        # (dynamic_update_slice in a loop is in-place under XLA), so peak
+        # memory is the final G plus one chunk of workspace — a stacked
+        # lax.map would double-buffer the ~(M, n, n) result (OOM at
+        # n=1023, where G alone is ~8.5 GB).
+        rdtype = hm.cc.real.dtype
+        n_chunks = -(-M // setup_chunk)
+
+        def body(i, bufs):
+            G_re, G_im = bufs
+            # overlap-clamped start: the last chunk re-computes a few
+            # duplicate subgrids instead of padding the family
+            start = jnp.minimum(i * setup_chunk, M - setup_chunk)
+            h_chunk = jax.tree.map(
+                lambda f: jax.lax.dynamic_slice_in_dim(f, start, setup_chunk, 0),
+                hm)
+            Tc = _schur_corner_inverse(h_chunk)
+            G_re = jax.lax.dynamic_update_slice_in_dim(G_re, Tc.real, start, 0)
+            G_im = jax.lax.dynamic_update_slice_in_dim(G_im, Tc.imag, start, 0)
+            return (G_re, G_im)
+
+        G_re, G_im = jax.lax.fori_loop(
+            0, n_chunks, body,
+            (jnp.zeros((M, n, n), rdtype), jnp.zeros((M, n, n), rdtype)))
+        G = CArray(G_re, G_im)
 
     HF = fd_stencil.extract_hf_stencil(A, b, full_coupling=hf_full_coupling)
     TF = _schur_t_stack(HF)
 
+    as_pair = lambda z: z if isinstance(z, CArray) else CArray.of(z)
     return SweepingPreconditioner(
-        G=G, TF=TF, hf_cs=HF.cs, hf_cn=HF.cn,
-        a_cs=A.cs, a_cn=A.cn, b=b, d2_replace=d2_replace)
+        G=as_pair(G), TF=as_pair(TF),
+        hf_cs=CArray.of(HF.cs), hf_cn=CArray.of(HF.cn),
+        a_cs=CArray.of(A.cs), a_cn=CArray.of(A.cn),
+        b=b, d2_replace=d2_replace)
 
 
 def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array) -> jax.Array:
@@ -199,43 +250,69 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array) -> jax.Array:
     f has grid shape (L, n); returns the same shape.  Fully jittable; the
     m-recursion runs as two `lax.scan`s of dense matvecs plus one batched
     matmul for the diagonal step (SURVEY.md section 3.4).
+
+    The G matvecs run directly on the split-real pair (4 real matmuls —
+    exactly what a complex matmul lowers to), so the ~(M, n, n) complex G is
+    never materialized as a complex buffer.
     """
     b = P.b
+    TF = P.TF.cplx
+    hf_cs, hf_cn = P.hf_cs.cplx, P.hf_cn.cplx
+    a_cs, a_cn = P.a_cs.cplx, P.a_cn.cplx
+    Gre, Gim = P.G.re, P.G.im
     u = f
 
+    def g_matvec(gre, gim, v):
+        vr, vi = jnp.real(v), jnp.imag(v)
+        return jax.lax.complex(gre @ vr - gim @ vi, gre @ vi + gim @ vr)
+
     # H_F solve + first correction: u_b -= A_{b+1,F} T_F u_F (code.py:364-365)
-    TFuF = _block_thomas_solve(P.TF, P.hf_cs, P.hf_cn, u[:b])
-    u = u.at[b].add(-P.a_cs[b] * TFuF[b - 1])
+    TFuF = _block_thomas_solve(TF, hf_cs, hf_cn, u[:b])
+    u = u.at[b].add(-a_cs[b] * TFuF[b - 1])
+
+    # The sweeps index G per step out of the closed-over resident buffer
+    # (dynamic_index_in_dim): passing G[:-1] as scan xs would materialize a
+    # near-full copy of the ~8.5 GB stack.
+    M_minus_1 = Gre.shape[0] - 1
+    ks = jnp.arange(M_minus_1)
+
+    def g_row(k):
+        return (jax.lax.dynamic_index_in_dim(Gre, k, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(Gim, k, 0, keepdims=False))
 
     # forward sweep j = b+1..L-1: u_j -= cs_j * (G_{j-1} u_{j-1})
     def fwd(prev, inputs):
-        cs_j, G_jm1, u_j = inputs
-        new = u_j - cs_j * (G_jm1 @ prev)
+        cs_j, u_j, k = inputs
+        gre, gim = g_row(k)
+        new = u_j - cs_j * g_matvec(gre, gim, prev)
         return new, new
 
-    _, u_fwd = jax.lax.scan(
-        fwd, u[b], (P.a_cs[b + 1:], P.G[:-1], u[b + 1:]))
+    _, u_fwd = jax.lax.scan(fwd, u[b], (a_cs[b + 1:], u[b + 1:], ks))
     u = jnp.concatenate([u[:b + 1], u_fwd], axis=0)
 
     # diagonal step j = b..L-1 (batched):
     #   corrected (D2 fixed): u_j  = G_j u_j      (paper's T~_m u_m)
     #   as-shipped:           u_j -= G_j u_j      (code.py:375)
-    Gu = jnp.einsum("kij,kj->ki", P.G, u[b:])
+    ur, ui = jnp.real(u[b:]), jnp.imag(u[b:])
+    Gu = jax.lax.complex(
+        jnp.einsum("kij,kj->ki", Gre, ur) - jnp.einsum("kij,kj->ki", Gim, ui),
+        jnp.einsum("kij,kj->ki", Gre, ui) + jnp.einsum("kij,kj->ki", Gim, ur))
     u = u.at[b:].set(Gu if P.d2_replace else u[b:] - Gu)
 
     # backward sweep j = L-2..b: u_j -= G_j (cn_j * u_{j+1})
     def bwd(nxt, inputs):
-        cn_j, G_j, u_j = inputs
-        new = u_j - G_j @ (cn_j * nxt)
+        cn_j, u_j, k = inputs
+        gre, gim = g_row(k)
+        new = u_j - g_matvec(gre, gim, cn_j * nxt)
         return new, new
 
     _, u_bwd = jax.lax.scan(
-        bwd, u[-1], (P.a_cn[b:-1], P.G[:-1], u[b:-1]), reverse=True)
+        bwd, u[-1], (a_cn[b:-1], u[b:-1], ks), reverse=True)
     u = jnp.concatenate([u[:b], u_bwd, u[-1:]], axis=0)
 
     # F-block closure: u_F = T_F u_F - T_F (A_{F,b+1} u_b)  (code.py:381-384)
-    rhs = jnp.zeros_like(TFuF).at[b - 1].set(P.a_cn[b - 1] * u[b])
-    uF = TFuF - _block_thomas_solve(P.TF, P.hf_cs, P.hf_cn, rhs)
+    rhs = jnp.zeros_like(TFuF).at[b - 1].set(a_cn[b - 1] * u[b])
+    uF = TFuF - _block_thomas_solve(TF, hf_cs, hf_cn, rhs)
     return jnp.concatenate([uF, u[b:]], axis=0)
 
 

@@ -163,11 +163,16 @@ def gmres(matvec: Callable, b: jax.Array, *,
             Hs, jnp.where(mask, g[:restart], 0.0), lower=False)
         x = x + y @ V[:restart]
 
-        done = res <= tol
-        # stagnation guard: a breakdown restart that did not converge will
-        # not improve on repeat — stop instead of spinning (SURVEY.md
-        # section 5 'failure detection').
-        stalled = brk & ~done
+        # Convergence is decided on a *recomputed* preconditioned residual,
+        # not the Givens estimate: in fp32 the Arnoldi recurrence drifts and
+        # the estimate can undershoot by orders of magnitude.  One extra
+        # matvec+apply per restart cycle buys a trustworthy stopping test.
+        res_true = jnp.linalg.norm(M(b - matvec(x)))
+        done = res_true <= tol
+        # stagnation guards (SURVEY.md section 5 'failure detection'):
+        # a breakdown cycle that did not converge, or a cycle with no
+        # residual reduction at all, will not improve on repeat.
+        stalled = (~done) & (brk | (res_true >= beta))
         return (x, iters + k, done | stalled, stalled, history)
 
     history0 = jnp.full((hist_len,), jnp.nan, rdtype)

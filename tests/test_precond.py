@@ -46,11 +46,12 @@ def test_corner_inverse_matches_dense():
     cfg, prob, P = _setup(n=15, b=4, wave_num=2.0, const=20.0)
     c_full = oracle.velocity_c1(0.5, 0.5, cfg.n)
     n, b = cfg.n, cfg.b
+    G_np = P.G.to_np()
     for k, m in enumerate(range(b + 1, n + 1)):
         H = oracle.build_hm_dense(m, n, b, cfg.const, cfg.eta, cfg.omega,
                                   cfg.h, c_full)
         Ginv = np.linalg.inv(H)[-n:, -n:]
-        np.testing.assert_allclose(np.asarray(P.G[k]), Ginv,
+        np.testing.assert_allclose(G_np[k], Ginv,
                                    rtol=1e-9, atol=1e-9 * np.abs(Ginv).max())
 
 
@@ -61,7 +62,7 @@ def test_hf_solve_matches_direct():
     rng = np.random.default_rng(3)
     rhs = rng.standard_normal((cfg.b, cfg.n)) + 1j * rng.standard_normal((cfg.b, cfg.n))
     from helmholtz_tpu.precond.sweeping import _block_thomas_solve
-    u = np.asarray(_block_thomas_solve(P.TF, P.hf_cs, P.hf_cn,
+    u = np.asarray(_block_thomas_solve(P.TF.cplx, P.hf_cs.cplx, P.hf_cn.cplx,
                                        jnp.asarray(rhs)))
     u_direct = np.linalg.solve(A_dense, rhs.reshape(-1)).reshape(cfg.b, cfg.n)
     np.testing.assert_allclose(u, u_direct, rtol=1e-9)
