@@ -1,0 +1,97 @@
+"""Distributed preconditioned solve over a layer-partitioned mesh.
+
+One `shard_map` wraps the entire GMRES loop: the matvec is the
+halo-exchange stencil SpMV, the preconditioner is the staged distributed
+sweep, and every Krylov inner product is a `psum` over the mesh axis
+(SURVEY.md section 2.3).  No per-iteration host round-trips, no
+gather-to-one-device: vectors, stencil fields, and the G factor stack stay
+sharded for the whole solve — the multi-chip memory scaling that breaks the
+reference's 15 GB wall.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.sparse import Stencil5
+from ..solve.gmres import KrylovResult, gmres
+from .partition import LAYER_AXIS, DistSweepState, shard_problem
+from .spmv import halo_stencil_matvec
+from .sweep import dist_apply_preconditioner
+
+
+def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
+                      f_grid: jax.Array, *, rtol: float = 1e-3,
+                      restart: int = 20, maxiter: int = 200,
+                      axis_name: str = LAYER_AXIS) -> KrylovResult:
+    """Row-shard the problem on `mesh` and run distributed GMRES.
+
+    Returns a KrylovResult whose `x` is the global (sharded) flat solution.
+    Constraints: L % n_devices == 0 and (with a preconditioner)
+    b < L // n_devices, so the F band lives on device 0.
+    """
+    L, n = A.cc.shape
+    ndev = mesh.shape[axis_name]
+    if L % ndev:
+        raise ValueError(f"grid rows {L} not divisible by {ndev} devices")
+    n_loc = L // ndev
+    use_precond = state is not None
+    if use_precond and state.b >= n_loc:
+        raise ValueError(
+            f"PML width b={state.b} must be < rows-per-device {n_loc}")
+
+    A_sh, state_sh, f_sh = shard_problem(
+        mesh, A, state if use_precond else _empty_state(A), f_grid,
+        axis_name)
+
+    def local_solve(A_loc, S_loc, f_loc):
+        def matvec(v):
+            return halo_stencil_matvec(
+                A_loc, v.reshape(n_loc, n), axis_name, ndev).reshape(-1)
+
+        M = None
+        if use_precond:
+            def M(v):
+                return dist_apply_preconditioner(
+                    S_loc, v.reshape(n_loc, n), axis_name=axis_name,
+                    n_devices=ndev, n_rows_global=L).reshape(-1)
+
+        return gmres(matvec, f_loc.reshape(-1), M=M, restart=restart,
+                     rtol=rtol, maxiter=maxiter, axis_name=axis_name)
+
+    row = P(axis_name)
+    repl = P()
+    in_specs = (
+        jax.tree.map(lambda _: row, A_sh),
+        DistSweepState(
+            G_pad=jax.tree.map(lambda _: row, state_sh.G_pad),
+            TF=jax.tree.map(lambda _: repl, state_sh.TF),
+            hf_cs=jax.tree.map(lambda _: repl, state_sh.hf_cs),
+            hf_cn=jax.tree.map(lambda _: repl, state_sh.hf_cn),
+            a_cs=jax.tree.map(lambda _: row, state_sh.a_cs),
+            a_cn=jax.tree.map(lambda _: row, state_sh.a_cn),
+            b=state_sh.b, d2_replace=state_sh.d2_replace),
+        row,
+    )
+    out_specs = KrylovResult(
+        x=row, iterations=repl, converged=repl, breakdown=repl,
+        residual_norm=repl, history=repl)
+
+    fn = jax.jit(jax.shard_map(local_solve, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False))
+    return fn(A_sh, state_sh, f_sh)
+
+
+def _empty_state(A: Stencil5) -> DistSweepState:
+    """Placeholder state for the unpreconditioned path (never applied)."""
+    from ..core.complexlib import CArray
+
+    L, n = A.cc.shape
+    rdt = A.cc.real.dtype
+    z = lambda *s: CArray(jnp.zeros(s, rdt), jnp.zeros(s, rdt))
+    return DistSweepState(G_pad=z(L, 1, 1), TF=z(1, 1, 1), hf_cs=z(1, 1),
+                          hf_cn=z(1, 1), a_cs=z(L, 1), a_cn=z(L, 1),
+                          b=1, d2_replace=True)

@@ -71,10 +71,17 @@ def gmres(matvec: Callable, b: jax.Array, *,
           restart: int = 20,
           rtol: float = 1e-3,
           atol: float = 0.0,
-          maxiter: int = 1000) -> KrylovResult:
+          maxiter: int = 1000,
+          axis_name: Optional[str] = None) -> KrylovResult:
     """Left-preconditioned restarted GMRES. `matvec`/`M` map (N,) -> (N,).
 
     Fully jittable: restart/maxiter are static, everything else traced.
+
+    With `axis_name` set, the solver runs SPMD inside `shard_map`: `b`/`x`
+    are the locally-owned vector rows and every inner product / norm is
+    all-reduced with `lax.psum` over the named mesh axis (the distributed
+    Krylov dots of SURVEY.md section 2.3); `matvec`/`M` are then expected
+    to be distributed operators (halo-exchange SpMV, staged sweep).
     """
     if M is None:
         M = lambda v: v
@@ -84,8 +91,16 @@ def gmres(matvec: Callable, b: jax.Array, *,
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
+    if axis_name is None:
+        _allreduce = lambda v: v
+    else:
+        _allreduce = lambda v: jax.lax.psum(v, axis_name)
+
+    def _norm(v):
+        return jnp.sqrt(_allreduce(jnp.sum(jnp.abs(v) ** 2)))
+
     Mb = M(b)
-    bnorm = jnp.linalg.norm(Mb)
+    bnorm = _norm(Mb)
     tol = jnp.maximum(rtol * bnorm, atol).astype(rdtype)
     n_outer = -(-maxiter // restart)
     hist_len = n_outer * restart
@@ -98,13 +113,13 @@ def gmres(matvec: Callable, b: jax.Array, *,
         j, V, H, cs, sn, g, _, _, brk = state
         # Arnoldi: one batched projection against the whole Krylov buffer.
         w = M(matvec(V[j]))
-        h = jnp.conj(V) @ w                       # (restart+1,) — rows > j are 0
+        h = _allreduce(jnp.conj(V) @ w)           # (restart+1,) — rows > j are 0
         w = w - h @ V
         # one re-orthogonalization pass for fp32 robustness
-        h2 = jnp.conj(V) @ w
+        h2 = _allreduce(jnp.conj(V) @ w)
         w = w - h2 @ V
         h = h + h2
-        hnorm = jnp.linalg.norm(w)
+        hnorm = _norm(w)
         happy = hnorm <= jnp.finfo(rdtype).eps * 100 * bnorm
         V = V.at[j + 1].set(jnp.where(happy, 0.0, w / jnp.where(happy, 1.0, hnorm)))
         h = h.at[j + 1].set(hnorm.astype(dtype))
@@ -134,7 +149,7 @@ def gmres(matvec: Callable, b: jax.Array, *,
     def outer_step(state):
         x, iters, _, stalled, history = state
         r = M(b - matvec(x))
-        beta = jnp.linalg.norm(r)
+        beta = _norm(r)
         safe_beta = jnp.where(beta > 0, beta, 1.0)
 
         V = jnp.zeros((restart + 1, N), dtype).at[0].set(r / safe_beta)
@@ -167,7 +182,7 @@ def gmres(matvec: Callable, b: jax.Array, *,
         # not the Givens estimate: in fp32 the Arnoldi recurrence drifts and
         # the estimate can undershoot by orders of magnitude.  One extra
         # matvec+apply per restart cycle buys a trustworthy stopping test.
-        res_true = jnp.linalg.norm(M(b - matvec(x)))
+        res_true = _norm(M(b - matvec(x)))
         done = res_true <= tol
         # stagnation guards (SURVEY.md section 5 'failure detection'):
         # a breakdown cycle that did not converge, or a cycle with no
@@ -179,7 +194,7 @@ def gmres(matvec: Callable, b: jax.Array, *,
     x, iters, done, stalled, history = jax.lax.while_loop(
         outer_cond, outer_step, (x0, 0, bnorm <= tol, False, history0))
 
-    final_res = jnp.linalg.norm(M(b - matvec(x)))
+    final_res = _norm(M(b - matvec(x)))
     return KrylovResult(x=x, iterations=iters,
                         converged=final_res <= tol,
                         breakdown=stalled,

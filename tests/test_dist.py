@@ -1,0 +1,125 @@
+"""Distributed tests on the virtual 8-device CPU mesh: shard-vs-replicated
+equivalence for SpMV, the staged sweep, and the full solve (SURVEY.md
+section 4 'distributed tests without a cluster')."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from helmholtz_tpu import HelmholtzConfig, assemble_problem
+from helmholtz_tpu.dist import (dist_state_from_preconditioner,
+                                distributed_solve, halo_stencil_matvec,
+                                make_mesh)
+from helmholtz_tpu.fd import stencil
+from helmholtz_tpu.ops.spmv import stencil_matvec, stencil_matvec_flat
+from helmholtz_tpu.precond import setup_preconditioner
+from helmholtz_tpu.precond.sweeping import apply_preconditioner
+from helmholtz_tpu.solve import gmres
+
+NDEV = 8
+
+
+def _problem(n=32, b=3, wave_num=2.0, const=20.0):
+    cfg = HelmholtzConfig(n=n, b=b, wave_num=wave_num, const=const)
+    prob = assemble_problem(cfg, "c1_f1")
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    P_ = setup_preconditioner(prob.A, hm, cfg.b)
+    return cfg, prob, P_
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == NDEV
+
+
+def test_halo_spmv_matches_single_device():
+    cfg, prob, _ = _problem()
+    mesh = make_mesh(NDEV)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+
+    def local(A_loc, u_loc):
+        return halo_stencil_matvec(A_loc, u_loc, "layers", NDEV)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("layers"), prob.A), P("layers")),
+        out_specs=P("layers")))
+    y_dist = np.asarray(fn(prob.A, u))
+    y_ref = np.asarray(stencil_matvec(prob.A, u))
+    np.testing.assert_allclose(y_dist, y_ref, rtol=1e-12, atol=1e-9)
+
+
+def test_staged_sweep_matches_single_device():
+    cfg, prob, P_ = _problem()
+    state = dist_state_from_preconditioner(P_)
+    mesh = make_mesh(NDEV)
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+
+    from helmholtz_tpu.dist.sweep import dist_apply_preconditioner
+    from helmholtz_tpu.dist.partition import DistSweepState
+
+    row, repl = P("layers"), P()
+    in_specs = (
+        DistSweepState(
+            G_pad=jax.tree.map(lambda _: row, state.G_pad),
+            TF=jax.tree.map(lambda _: repl, state.TF),
+            hf_cs=jax.tree.map(lambda _: repl, state.hf_cs),
+            hf_cn=jax.tree.map(lambda _: repl, state.hf_cn),
+            a_cs=jax.tree.map(lambda _: row, state.a_cs),
+            a_cn=jax.tree.map(lambda _: row, state.a_cn),
+            b=state.b, d2_replace=state.d2_replace),
+        row)
+
+    fn = jax.jit(jax.shard_map(
+        lambda S, fl: dist_apply_preconditioner(
+            S, fl, axis_name="layers", n_devices=NDEV,
+            n_rows_global=cfg.n),
+        mesh=mesh, in_specs=in_specs, out_specs=row))
+    u_dist = np.asarray(fn(state, f))
+    u_ref = np.asarray(apply_preconditioner(P_, f))
+    np.testing.assert_allclose(u_dist, u_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_distributed_solve_matches_single_device():
+    cfg, prob, P_ = _problem()
+    state = dist_state_from_preconditioner(P_)
+    mesh = make_mesh(NDEV)
+
+    res_d = distributed_solve(mesh, prob.A, state, prob.f_grid,
+                              rtol=1e-3, maxiter=200)
+    res_s = gmres(lambda v: stencil_matvec_flat(prob.A, v), prob.f_vec,
+                  M=P_, restart=20, rtol=1e-3, maxiter=200)
+    assert bool(res_d.converged)
+    assert int(res_d.iterations) == int(res_s.iterations)
+    np.testing.assert_allclose(np.asarray(res_d.x).reshape(-1),
+                               np.asarray(res_s.x), rtol=1e-6, atol=1e-9)
+
+
+def test_distributed_solve_unpreconditioned():
+    cfg, prob, _ = _problem(n=16, b=2)
+    mesh = make_mesh(NDEV)
+    res = distributed_solve(mesh, prob.A, None, prob.f_grid,
+                            rtol=1e-2, maxiter=2000)
+    A = prob.A.toscipy()
+    f = np.asarray(prob.f_vec)
+    x = np.asarray(res.x).reshape(-1)
+    assert np.linalg.norm(A @ x - f) / np.linalg.norm(f) <= 1.1e-2
+
+
+def test_bad_partition_raises():
+    cfg, prob, P_ = _problem(n=30, b=3)  # 30 % 8 != 0
+    state = dist_state_from_preconditioner(P_)
+    mesh = make_mesh(NDEV)
+    with pytest.raises(ValueError, match="not divisible"):
+        distributed_solve(mesh, prob.A, state, prob.f_grid)
+    cfg2, prob2, P2 = _problem(n=32, b=6)  # b >= n_loc = 4
+    with pytest.raises(ValueError, match="must be <"):
+        distributed_solve(mesh, prob2.A, dist_state_from_preconditioner(P2),
+                          prob2.f_grid)
