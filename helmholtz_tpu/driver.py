@@ -145,14 +145,14 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
         P_pair = None
     else:
         raise ValueError(f"unknown precond {precond!r}")
-    jax.block_until_ready((A_pair, P_pair if use_precond else f_pair))
+    _host_sync(P_pair if use_precond else A_pair)
     t1 = time.perf_counter()
 
     res_pair = _solve_stage(A_pair, P_pair, f_pair,
                             jnp.asarray(rtol, jnp.result_type(float)),
                             restart=restart, maxiter=maxiter,
                             use_precond=use_precond)
-    jax.block_until_ready(res_pair)
+    _host_sync(res_pair)
     t2 = time.perf_counter()
 
     u = res_pair.x.to_np().reshape(n, n)
@@ -185,6 +185,18 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
         from . import viz
         viz.plot_solution(report)
     return report
+
+
+def _host_sync(tree):
+    """Force completion of a device computation by fetching one scalar per
+    leaf to the host.  `jax.block_until_ready` does not reliably block
+    through this environment's remote-device tunnel, so wall-clock timing
+    must anchor on an actual host transfer."""
+    import numpy as _np
+
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "ravel") and leaf.size:
+            _np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
 def _host_stencil_matvec(A_np, u):
