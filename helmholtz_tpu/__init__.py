@@ -13,7 +13,9 @@ from .config import (HelmholtzConfig, PartitionConfig, PrecisionConfig,
 from .core.sparse import BSR, COO, CSR, Stencil5
 from .fd.assembly import Problem, assemble_problem, interlayer_couplings
 from .fd import problems
+from .core.complexlib import CArray, complexify, pairify
 from .ops.spmv import (bsr_matmat, bsr_matvec, coo_matvec, csr_matmat,
                        csr_matvec, stencil_matvec, stencil_matvec_flat)
+from .solve import KrylovResult, bicgstab, gmres
 
 __version__ = "0.1.0"

@@ -1,0 +1,122 @@
+"""Roofline accounting: nnz/s and bytes-moved vs measured machine peaks.
+
+The north-star metric is complex SpMV nnz/s per chip against the HBM
+roofline (BASELINE.json; SURVEY.md section 5 'tracing/profiling').  Peaks
+are *measured* on the live chip (streaming bandwidth, f32 matmul rate)
+rather than quoted from datasheets, so the reported fractions are honest
+for this environment.
+
+Timing methodology: kernels run inside a jitted `lax.fori_loop` and a host
+fetch anchors the clock — per-dispatch overhead through the remote-device
+tunnel is ~300 us and `block_until_ready` does not reliably block (see
+`driver._host_sync`).
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _timed_loop(fn, init, iters=50):
+    """Run state -> state `fn` on device; s/iteration.
+
+    Two-point measurement: times loops of `iters` and `5*iters` steps and
+    divides the difference — the fixed per-call cost (remote dispatch +
+    host-fetch round trip, ~30-70 ms in this environment) cancels out.
+    """
+    @jax.jit
+    def loop(x, k):
+        return jax.lax.fori_loop(0, k, lambda _, s: fn(s), x,
+                                 unroll=False)
+
+    def run(k):
+        r = loop(init, k)
+        _sync(r)
+        t0 = time.perf_counter()
+        r = loop(init, k)
+        _sync(r)
+        return time.perf_counter() - t0
+
+    # median of 3 repeats tames run-to-run tunnel jitter
+    diffs = []
+    for _ in range(3):
+        t_short = run(jnp.asarray(iters))
+        t_long = run(jnp.asarray(5 * iters))
+        diffs.append(max(t_long - t_short, 1e-9) / (4 * iters))
+    return float(np.median(diffs))
+
+
+def _sync(tree):
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "ravel") and leaf.size:
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def measure_streaming_bw(mb: int = 256) -> float:
+    """Achievable HBM streaming bandwidth (GB/s): read+write of one array."""
+    N = mb * 1024 * 1024 // 4
+    x = jnp.ones((N,), jnp.float32)
+    dt = _timed_loop(lambda v: v * 1.0000001, x, iters=30)
+    return 2 * mb / 1024 / dt
+
+
+def measure_matmul_tflops(n: int = 4096) -> float:
+    """Achievable f32 matmul rate (TFLOP/s)."""
+    a = jnp.ones((n, n), jnp.float32)
+    b = jnp.ones((n, n), jnp.float32)
+    dt = _timed_loop(lambda x: (x @ b) * (1.0 / n), a, iters=20)
+    return 2 * n**3 / dt / 1e12
+
+
+def measure_spmv(n: int = 1023, use_pallas: bool = True) -> dict:
+    """Complex stencil SpMV throughput + roofline fraction at grid size n."""
+    from ..core.complexlib import CArray
+    from ..driver import _assemble_stage
+    from ..ops.pallas.spmv_stencil import pallas_stencil_matvec
+    from ..ops.spmv import stencil_matvec
+    from ..core.complexlib import complexify, pairify
+
+    wf = jnp.result_type(float)
+    (A_pair, _, f_pair), _ = _assemble_stage(
+        jnp.asarray(16.0, wf), jnp.asarray(81.0, wf), jnp.asarray(2.0, wf),
+        n=n, b=12, problem="c1_f1",
+        cdtype=jnp.complex64 if wf == jnp.float32 else jnp.complex128,
+        fidelity="as-shipped")
+    u0 = CArray(f_pair.re.reshape(n, n), f_pair.im.reshape(n, n))
+
+    if use_pallas:
+        def step(u):
+            y = pallas_stencil_matvec(A_pair, u)
+            return CArray(y.re * 1e-3, y.im * 1e-3)
+    else:
+        A = None
+
+        def step(u):
+            y = pairify(stencil_matvec(complexify(A_pair), u.cplx) * 1e-3)
+            return y
+
+    dt = _timed_loop(step, u0, iters=50)
+    nnz = 5 * n * n - 4 * n
+    itemsize = np.dtype(u0.re.dtype).itemsize
+    # Two traffic models: 14 arrays (coeffs + u + y — the GMRES situation,
+    # where the vector comes from HBM) and 10 arrays (coeffs only — the
+    # benchmark loop situation, where XLA keeps the u/y carry resident in
+    # VMEM).  The truth for this loop is the latter; both are reported.
+    gb_full = 14 * itemsize * n * n / 1e9
+    gb_coeff = 10 * itemsize * n * n / 1e9
+    bw = measure_streaming_bw()
+    return {
+        "kernel": "pallas_stencil_spmv" if use_pallas else "xla_stencil_spmv",
+        "n": n,
+        "nnz": nnz,
+        "s_per_apply": dt,
+        "gnnz_per_s": nnz / dt / 1e9,
+        "effective_gb_per_s_full_traffic": gb_full / dt,
+        "effective_gb_per_s_coeff_traffic": gb_coeff / dt,
+        "measured_stream_bw_gb_s": bw,
+        "roofline_fraction": (gb_coeff / dt) / bw,
+    }

@@ -1,0 +1,173 @@
+"""Command-line interface — the reference's `__main__` sweep + run_solver
+workflow (code.py:558-612) with a real flag system (SURVEY.md section 5
+'config/flag system': the reference had only positional args and comment
+editing).
+
+  python -m helmholtz_tpu solve --n 127 --wave-num 16 --const 81
+  python -m helmholtz_tpu sweep --ns 127 255 511 1023
+  python -m helmholtz_tpu bench-spmv --n 1023
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_problem_args(p):
+    p.add_argument("--n", type=int, default=127, help="interior grid size")
+    p.add_argument("--b", type=int, default=12, help="PML width (points)")
+    p.add_argument("--wave-num", type=float, default=16.0,
+                   help="omega / 2pi")
+    p.add_argument("--const", type=float, default=81.0,
+                   help="PML amplitude C")
+    p.add_argument("--alpha", type=float, default=2.0,
+                   help="imaginary frequency shift")
+    p.add_argument("--problem", default="c1_f1",
+                   choices=["c1_f1", "c1_f2", "c2_f1", "c2_f2"])
+    p.add_argument("--fidelity", default="as-shipped",
+                   choices=["as-shipped", "corrected"],
+                   help="velocity-sampling convention (SURVEY.md App. B3)")
+
+
+def _add_solver_args(p):
+    p.add_argument("--precond", default="moving_pml",
+                   choices=["moving_pml", "exact", "none"])
+    p.add_argument("--method", default="gmres", choices=["gmres", "bicgstab"])
+    p.add_argument("--rtol", type=float, default=1e-3)
+    p.add_argument("--restart", type=int, default=20)
+    p.add_argument("--maxiter", type=int, default=None)
+    p.add_argument("--as-shipped-d2", action="store_true",
+                   help="reproduce deviation D2 (subtract diag step)")
+    p.add_argument("--block-diag-hf", action="store_true",
+                   help="reproduce deviation D3 (block-diagonal H_F)")
+
+
+def _add_output_args(p):
+    p.add_argument("--plot", metavar="PNG", help="save Re(u) heatmap")
+    p.add_argument("--plot-residuals", metavar="PNG")
+    p.add_argument("--metrics", metavar="JSONL",
+                   help="append metrics JSON line")
+    p.add_argument("--save", metavar="NPZ", help="save solution + history")
+    p.add_argument("--save-precond", metavar="NPZ",
+                   help="checkpoint the factored preconditioner state")
+    p.add_argument("--quiet", action="store_true")
+
+
+def _solve_one(args):
+    from .driver import run_solver
+
+    return run_solver(
+        args.n, args.b, args.wave_num, args.const, args.alpha,
+        problem=args.problem, rtol=args.rtol, restart=args.restart,
+        maxiter=args.maxiter, method=args.method, precond=args.precond,
+        fidelity=args.fidelity,
+        hf_full_coupling=not args.block_diag_hf,
+        d2_replace=not args.as_shipped_d2)
+
+
+def cmd_solve(args):
+    from .utils.logging import log_metrics
+
+    r = _solve_one(args)
+    if not args.quiet:
+        print(f"GMRES iterations with preconditioner: {r.iterations}")
+        print(f"true relative residual: {r.true_residual:.3e}")
+        print(f"Initialization time = {r.init_time:.3f}")
+        print(f"{'GMRES' if args.method == 'gmres' else 'BiCGStab'} "
+              f"solve time = {r.solve_time:.3f}")
+    if args.metrics:
+        log_metrics(r, args.metrics)
+    if args.plot:
+        from . import viz
+        viz.plot_solution(r, args.plot)
+        print(f"wrote {args.plot}")
+    if args.plot_residuals:
+        from . import viz
+        viz.plot_residual_history(r, args.plot_residuals)
+        print(f"wrote {args.plot_residuals}")
+    if args.save:
+        from .utils.checkpoint import save_report
+        save_report(args.save, r)
+        print(f"wrote {args.save}")
+    if args.save_precond:
+        from .driver import build_preconditioner
+        from .utils.checkpoint import save_preconditioner
+        P_pair, _, _ = build_preconditioner(
+            args.n, args.b, args.wave_num, args.const, args.alpha,
+            problem=args.problem, fidelity=args.fidelity,
+            hf_full_coupling=not args.block_diag_hf,
+            d2_replace=not args.as_shipped_d2)
+        save_preconditioner(args.save_precond, P_pair)
+        print(f"wrote {args.save_precond}")
+    return 0 if r.converged else 1
+
+
+def cmd_sweep(args):
+    """The reference's n=127..1023 c1-f1 experiment sweep (code.py:574-599)."""
+    from .utils.logging import log_metrics
+
+    # reference-tuned C per n for c1_f1 (code.py:574-589)
+    default_C = {127: 81.0, 255: 62.0, 511: 81.0, 1023: 100.0}
+    init_ts, solve_ts = [], []
+    for n in args.ns:
+        args.n = n
+        if args.scale_freq:
+            args.wave_num = (n + 1) / 8.0   # fixed points-per-wavelength
+        args.const = default_C.get(n, args.const)
+        r = _solve_one(args)
+        init_ts.append(r.init_time)
+        solve_ts.append(r.solve_time)
+        print(f"n={n}: iters={r.iterations} converged={r.converged} "
+              f"true_res={r.true_residual:.2e} init={r.init_time:.2f}s "
+              f"solve={r.solve_time:.2f}s")
+        if args.metrics:
+            log_metrics(r, args.metrics)
+    if args.plot:
+        from . import viz
+        viz.plot_runtime(init_ts, solve_ts, args.ns, args.plot,
+                         title=f"Runtime {args.problem}")
+        print(f"wrote {args.plot}")
+    return 0
+
+
+def cmd_bench_spmv(args):
+    from .bench.roofline import measure_spmv
+
+    for use_pallas in ([True, False] if args.both else [args.pallas]):
+        print(json.dumps(measure_spmv(args.n, use_pallas=use_pallas)))
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="helmholtz_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("solve", help="single preconditioned solve")
+    _add_problem_args(p)
+    _add_solver_args(p)
+    _add_output_args(p)
+    p.set_defaults(fn=cmd_solve)
+
+    p = sub.add_parser("sweep", help="reference experiment sweep")
+    _add_problem_args(p)
+    _add_solver_args(p)
+    _add_output_args(p)
+    p.add_argument("--ns", type=int, nargs="+",
+                   default=[127, 255, 511, 1023])
+    p.add_argument("--scale-freq", action="store_true", default=True,
+                   help="scale omega/2pi = (n+1)/8 with n (reference sweep)")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("bench-spmv", help="SpMV roofline measurement")
+    p.add_argument("--n", type=int, default=1023)
+    p.add_argument("--pallas", action="store_true", default=True)
+    p.add_argument("--both", action="store_true")
+    p.set_defaults(fn=cmd_bench_spmv)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

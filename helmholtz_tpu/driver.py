@@ -31,6 +31,7 @@ from .fd import stencil as fd_stencil
 from .ops.spmv import stencil_matvec_flat
 from .precond.exact import factor_exact
 from .precond.sweeping import setup_preconditioner
+from .solve.bicgstab import bicgstab
 from .solve.gmres import gmres
 
 
@@ -72,15 +73,22 @@ def _factor_exact_stage(A_pair, *, b):
     return pairify(factor_exact(complexify(A_pair)))
 
 
-@partial(jax.jit, static_argnames=("restart", "maxiter", "use_precond"))
+@partial(jax.jit, static_argnames=("restart", "maxiter", "use_precond",
+                                   "method"))
 def _solve_stage(A_pair, P_pair, f_pair, rtol, *, restart, maxiter,
-                 use_precond):
+                 use_precond, method="gmres"):
     A, f = complexify((A_pair, f_pair))
     # P already stores split-real CArrays internally — pass through as-is
     # (complexifying it would materialize the ~GB-scale complex G).
     M = P_pair if use_precond else None
-    res = gmres(lambda v: stencil_matvec_flat(A, v), f.reshape(-1),
-                M=M, restart=restart, rtol=rtol, maxiter=maxiter)
+    mv = lambda v: stencil_matvec_flat(A, v)
+    if method == "gmres":
+        res = gmres(mv, f.reshape(-1), M=M, restart=restart, rtol=rtol,
+                    maxiter=maxiter)
+    elif method == "bicgstab":
+        res = bicgstab(mv, f.reshape(-1), M=M, rtol=rtol, maxiter=maxiter)
+    else:
+        raise ValueError(f"unknown method {method!r}")
     return pairify(res)
 
 
@@ -114,6 +122,7 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
                alpha: float = 2.0, problem: str = "c1_f1", *,
                rtol: float = 1e-3, restart: int = 20,
                maxiter: Optional[int] = None,
+               method: str = "gmres",
                precond: str = "moving_pml",
                fidelity: str = "as-shipped",
                hf_full_coupling: bool = True,
@@ -151,7 +160,7 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
     res_pair = _solve_stage(A_pair, P_pair, f_pair,
                             jnp.asarray(rtol, jnp.result_type(float)),
                             restart=restart, maxiter=maxiter,
-                            use_precond=use_precond)
+                            use_precond=use_precond, method=method)
     _host_sync(res_pair)
     t2 = time.perf_counter()
 
@@ -178,13 +187,34 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
         solve_time=t2 - t1,
         config=dict(n=n, b=b, wave_num=wave_num, const=const, alpha=alpha,
                     problem=problem, rtol=rtol, restart=restart,
-                    precond=precond, fidelity=fidelity,
+                    method=method, precond=precond, fidelity=fidelity,
                     dtype=str(np.dtype(cdtype))),
     )
     if plot_solution:
         from . import viz
         viz.plot_solution(report)
     return report
+
+
+def build_preconditioner(n: int, b: int, wave_num: float, const: float,
+                         alpha: float = 2.0, problem: str = "c1_f1", *,
+                         fidelity: str = "as-shipped",
+                         hf_full_coupling: bool = True,
+                         d2_replace: bool = True,
+                         setup_chunk: int = 128,
+                         complex_dtype=None):
+    """Assemble + factor only — returns the pair-typed preconditioner state
+    (for checkpointing or reuse across many solves, SURVEY.md section 5)."""
+    cdtype = complex_dtype or default_complex_dtype()
+    wf = jnp.result_type(float)
+    (A_pair, hm_pair, f_pair), _ = _assemble_stage(
+        jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
+        jnp.asarray(alpha, wf), n=n, b=b, problem=problem,
+        fidelity=fidelity, cdtype=cdtype)
+    P_pair = _factor_stage(A_pair, hm_pair, b=b,
+                           hf_full_coupling=hf_full_coupling,
+                           d2_replace=d2_replace, setup_chunk=setup_chunk)
+    return P_pair, A_pair, f_pair
 
 
 def _host_sync(tree):
