@@ -104,11 +104,78 @@ class Stencil5:
             format="csr",
         )
 
-    def tocoo(self) -> "COO":
-        return COO.fromdense(jnp.asarray(self.todense()))
-
     def tocsr(self) -> "CSR":
-        return self.tocoo().tocsr()
+        """Direct stencil -> CSR materialization (native C++ when available;
+        never builds a dense intermediate)."""
+        from . import native
+
+        indptr, indices, data = native.stencil_to_csr(
+            np.asarray(self.cc), np.asarray(self.cw), np.asarray(self.ce),
+            np.asarray(self.cs), np.asarray(self.cn))
+        return CSR(jnp.asarray(data), jnp.asarray(indices),
+                   jnp.asarray(indptr), self.shape)
+
+    def tocoo(self) -> "COO":
+        return self.tocsr().tocoo()
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cc", "cw", "ce", "cs", "cn", "csw", "cse", "cnw", "cne"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class Stencil9:
+    """9-point stencil operator: Stencil5 plus the four diagonal couplings.
+
+    The stencil footprint is a property of the representation, not the
+    assembly code (SURVEY.md section 0 note on the driver metadata): compact
+    9-point Helmholtz schemes drop straight into the same pipeline.  Offsets
+    in flat ordering: 0, +-1, +-n, +-(n-1), +-(n+1).
+    """
+
+    cc: jax.Array
+    cw: jax.Array
+    ce: jax.Array
+    cs: jax.Array
+    cn: jax.Array
+    csw: jax.Array  # coupling to (j-1, i-1)
+    cse: jax.Array  # coupling to (j-1, i+1)
+    cnw: jax.Array  # coupling to (j+1, i-1)
+    cne: jax.Array  # coupling to (j+1, i+1)
+
+    @property
+    def grid_shape(self) -> tuple[int, int]:
+        return self.cc.shape[-2], self.cc.shape[-1]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        N = self.cc.shape[-1] * self.cc.shape[-2]
+        return (N, N)
+
+    @property
+    def dtype(self):
+        return self.cc.dtype
+
+    def todense(self) -> np.ndarray:
+        L, n = self.grid_shape
+        N = L * n
+        A = np.zeros((N, N), dtype=np.asarray(self.cc).dtype)
+        fields = {(0, 0): self.cc, (0, -1): self.cw, (0, 1): self.ce,
+                  (-1, 0): self.cs, (1, 0): self.cn,
+                  (-1, -1): self.csw, (-1, 1): self.cse,
+                  (1, -1): self.cnw, (1, 1): self.cne}
+        for (dj, di), f in fields.items():
+            f = np.asarray(f)
+            for j in range(L):
+                jj = j + dj
+                if not (0 <= jj < L):
+                    continue
+                for i in range(n):
+                    ii = i + di
+                    if 0 <= ii < n:
+                        A[j * n + i, jj * n + ii] = f[j, i]
+        return A
 
 
 def _blocked(shape, block):

@@ -46,6 +46,15 @@ def default_complex_dtype():
 @partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity", "cdtype"))
 def _assemble_stage(wave_num, const, alpha, *, n, b, problem, fidelity,
                     cdtype):
+    # phase labels surface in jax.profiler traces (utils.profiling)
+    with jax.named_scope("assemble"):
+        return _assemble_impl(wave_num, const, alpha, n=n, b=b,
+                              problem=problem, fidelity=fidelity,
+                              cdtype=cdtype)
+
+
+def _assemble_impl(wave_num, const, alpha, *, n, b, problem, fidelity,
+                   cdtype):
     omega = (2.0 * jnp.pi * wave_num + 1j * alpha).astype(cdtype)
     h = 1.0 / (n + 1)
     eta = b * h
@@ -62,6 +71,14 @@ def _assemble_stage(wave_num, const, alpha, *, n, b, problem, fidelity,
                                    "setup_chunk"))
 def _factor_stage(A_pair, hm_pair, *, b, hf_full_coupling, d2_replace,
                   setup_chunk):
+    with jax.named_scope("factor"):
+        return _factor_impl(A_pair, hm_pair, b=b,
+                            hf_full_coupling=hf_full_coupling,
+                            d2_replace=d2_replace, setup_chunk=setup_chunk)
+
+
+def _factor_impl(A_pair, hm_pair, *, b, hf_full_coupling, d2_replace,
+                 setup_chunk):
     A, hm = complexify((A_pair, hm_pair))
     P = setup_preconditioner(A, hm, b, hf_full_coupling=hf_full_coupling,
                              d2_replace=d2_replace, setup_chunk=setup_chunk)

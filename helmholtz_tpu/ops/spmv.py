@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.sparse import BSR, COO, CSR, Stencil5
+from ..core.sparse import BSR, COO, CSR, Stencil5, Stencil9
 
 
 def stencil_matvec(A: Stencil5, u: jax.Array) -> jax.Array:
@@ -39,6 +39,30 @@ def stencil_matvec_flat(A: Stencil5, x: jax.Array) -> jax.Array:
     L, n = A.grid_shape
     u = x.reshape(*x.shape[:-1], L, n)
     return stencil_matvec(A, u).reshape(x.shape)
+
+
+def _shift2(u, dj, di):
+    """u shifted so result[j, i] = u[j+dj, i+di], zero outside the grid."""
+    if di:
+        z = jnp.zeros_like(u[..., :, :abs(di)])
+        u = (jnp.concatenate([u[..., :, di:], z], axis=-1) if di > 0
+             else jnp.concatenate([z, u[..., :, :di]], axis=-1))
+    if dj:
+        z = jnp.zeros_like(u[..., :abs(dj), :])
+        u = (jnp.concatenate([u[..., dj:, :], z], axis=-2) if dj > 0
+             else jnp.concatenate([z, u[..., :dj, :]], axis=-2))
+    return u
+
+
+def stencil9_matvec(A: Stencil9, u: jax.Array) -> jax.Array:
+    """y = A @ u for the 9-point footprint — same fused one-pass pattern as
+    `stencil_matvec`, four extra shifted multiply-adds."""
+    out = A.cc * u
+    for f, dj, di in ((A.cw, 0, -1), (A.ce, 0, 1), (A.cs, -1, 0),
+                      (A.cn, 1, 0), (A.csw, -1, -1), (A.cse, -1, 1),
+                      (A.cnw, 1, -1), (A.cne, 1, 1)):
+        out = out + f * _shift2(u, dj, di)
+    return out
 
 
 def coo_matvec(A: COO, x: jax.Array) -> jax.Array:

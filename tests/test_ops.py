@@ -106,3 +106,18 @@ def test_stencil_algebra():
     d = jnp.asarray(np.random.default_rng(0).standard_normal((15, 15)) + 0j)
     np.testing.assert_allclose(stencil_diag_update(A, d).todense(),
                                Ad + np.diag(np.asarray(d).reshape(-1)))
+
+
+def test_stencil9_matvec_matches_dense():
+    from helmholtz_tpu.core.sparse import Stencil9
+    from helmholtz_tpu.ops.spmv import stencil9_matvec
+    rng = np.random.default_rng(12)
+    L, n = 9, 11
+    fields = [jnp.asarray(rng.standard_normal((L, n))
+                          + 1j * rng.standard_normal((L, n)))
+              for _ in range(9)]
+    A = Stencil9(*fields)
+    u = rng.standard_normal((L, n)) + 1j * rng.standard_normal((L, n))
+    y = np.asarray(stencil9_matvec(A, jnp.asarray(u)))
+    y_ref = (A.todense() @ u.reshape(-1)).reshape(L, n)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
