@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from ..core.complexlib import CArray
 from ..core.sparse import Stencil5
 from ..fd import stencil as fd_stencil
+from ..ops.dense import batched_inverse
 
 
 def _dense_tridiag(cw, cc, ce):
@@ -74,14 +75,14 @@ def _schur_t_stack(H: Stencil5):
     L (materializing all L blocks up front OOMs at n=1023, where one
     (chunk, b, n, n) buffer alone is ~13 GB).
     """
-    T0 = jnp.linalg.inv(
+    T0 = batched_inverse(
         _dense_tridiag(H.cw[..., 0, :], H.cc[..., 0, :], H.ce[..., 0, :]))
 
     def step(T_prev, inputs):
         cw_l, cc_l, ce_l, cs_l, cn_lm1 = inputs
         S = (_dense_tridiag(cw_l, cc_l, ce_l)
              - cs_l[..., :, None] * T_prev * cn_lm1[..., None, :])
-        T = jnp.linalg.inv(S)
+        T = batched_inverse(S)
         return T, T
 
     xs = (
@@ -99,14 +100,14 @@ def _schur_t_stack(H: Stencil5):
 def _schur_corner_inverse(H: Stencil5):
     """T_{L-1} = S_{L-1}^{-1} only (the subgrid corner inverse G_m), without
     stacking the intermediate T_l — peak memory one (batch, n, n) carry."""
-    T0 = jnp.linalg.inv(
+    T0 = batched_inverse(
         _dense_tridiag(H.cw[..., 0, :], H.cc[..., 0, :], H.ce[..., 0, :]))
 
     def step(T_prev, inputs):
         cw_l, cc_l, ce_l, cs_l, cn_lm1 = inputs
         S = (_dense_tridiag(cw_l, cc_l, ce_l)
              - cs_l[..., :, None] * T_prev * cn_lm1[..., None, :])
-        return jnp.linalg.inv(S), None
+        return batched_inverse(S), None
 
     xs = (
         jnp.moveaxis(H.cw[..., 1:, :], -2, 0),
@@ -202,7 +203,7 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
     M, _, n = hm.cc.shape
     # bound peak setup memory: a few (chunk, n, n) complex buffers live
     # inside the batched inverse, so scale the chunk down with the grid.
-    setup_chunk = max(4, min(setup_chunk, int(4.5e7) // (n * n)))
+    setup_chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
 
     if M <= setup_chunk:
         G = _schur_corner_inverse(hm)
