@@ -23,8 +23,12 @@ from .partition import DistSweepState
 
 
 def _g_matvec(gre, gim, v):
-    vr, vi = jnp.real(v), jnp.imag(v)
-    return jax.lax.complex(gre @ vr - gim @ vi, gre @ vi + gim @ vr)
+    # (n, 2) RHS: one read of gre and one of gim per step; HIGHEST precision
+    # so the bf16 MXU default does not degrade the sweep (precond.sweeping)
+    V = jnp.stack([jnp.real(v), jnp.imag(v)], axis=-1)
+    RV = jnp.matmul(gre, V, precision=jax.lax.Precision.HIGHEST)
+    IV = jnp.matmul(gim, V, precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.complex(RV[:, 0] - IV[:, 1], RV[:, 1] + IV[:, 0])
 
 
 def dist_apply_preconditioner(S: DistSweepState, f_local: jax.Array, *,
@@ -74,21 +78,20 @@ def dist_apply_preconditioner(S: DistSweepState, f_local: jax.Array, *,
         if s + 1 < n_devices:
             t = jax.lax.ppermute(t_last, axis_name, up_perm)
 
-    # --- diagonal step (fully local, batched) ----------------------------
-    ur, ui = jnp.real(u), jnp.imag(u)
-    Gu = jax.lax.complex(
-        jnp.einsum("kij,kj->ki", Gre, ur) - jnp.einsum("kij,kj->ki", Gim, ui),
-        jnp.einsum("kij,kj->ki", Gre, ui) + jnp.einsum("kij,kj->ki", Gim, ur))
-    sweep_rows = (jrows >= b)[:, None]
-    u = jnp.where(sweep_rows, Gu if S.d2_replace else u - Gu, u)
-
-    # --- backward sweep (staged, reverse) --------------------------------
+    # --- fused diagonal + backward sweep (staged, reverse) ---------------
+    # one pass over the local G shard per stage instead of two
+    # (precond.sweeping.apply_preconditioner has the single-device analog):
+    #   corrected:  u_j = G_j (u_j - cn_j * u_{j+1})   (cn zeroed at j=L-1)
+    #   as-shipped: u_j = u_j - G_j (u_j + cn_j * u_{j+1})
     def local_bwd(un0, u_loc):
         def step(un, inp):
             u_j, cn_j, gre, gim, jg = inp
-            active = (jg >= b) & (jg <= L - 2)
-            u_new = jnp.where(active, u_j - _g_matvec(gre, gim, cn_j * un),
-                              u_j)
+            cn_eff = jnp.where(jg <= L - 2, cn_j, jnp.zeros_like(cn_j))
+            if S.d2_replace:
+                cand = _g_matvec(gre, gim, u_j - cn_eff * un)
+            else:
+                cand = u_j - _g_matvec(gre, gim, u_j + cn_eff * un)
+            u_new = jnp.where(jg >= b, cand, u_j)
             return u_new, u_new
         u_first, u_out = jax.lax.scan(step, un0, (u_loc, a_cn, Gre, Gim, jrows),
                                       reverse=True)

@@ -120,7 +120,7 @@ def pallas_stencil_matvec(A_pair: Stencil5, u: CArray, *,
     yr, yi = pl.pallas_call(
         functools.partial(_kernel, bl=bl, n_pad=n_pad),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
                  + [coeff_spec] * 10,
         out_specs=(coeff_spec, coeff_spec),
         out_shape=(jax.ShapeDtypeStruct((L_pad, n_pad), u.re.dtype),

@@ -128,19 +128,21 @@ def _block_thomas_solve(T, cs, cn, rhs):
     diagonal+backward substitution — the algo2_2 scheme (code.py:334-342),
     exact for block-tridiagonal systems.
     """
+    hi = jax.lax.Precision.HIGHEST
+
     def fwd(y_prev, inputs):
         T_prev, cs_l, r_l = inputs
-        y = r_l - cs_l * (T_prev @ y_prev)
+        y = r_l - cs_l * jnp.matmul(T_prev, y_prev, precision=hi)
         return y, y
 
     _, y_rest = jax.lax.scan(fwd, rhs[0], (T[:-1], cs[1:], rhs[1:]))
     y = jnp.concatenate([rhs[:1], y_rest], axis=0)
 
-    u_last = T[-1] @ y[-1]
+    u_last = jnp.matmul(T[-1], y[-1], precision=hi)
 
     def bwd(u_next, inputs):
         T_l, cn_l, y_l = inputs
-        u = T_l @ (y_l - cn_l * u_next)
+        u = jnp.matmul(T_l, y_l - cn_l * u_next, precision=hi)
         return u, u
 
     _, u_rest = jax.lax.scan(bwd, u_last, (T[:-1], cn[:-1], y[:-1]),
@@ -249,12 +251,19 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array) -> jax.Array:
     """Algorithm 2.4 analog: one sweep solve u ~= A^{-1} f (code.py:356-385).
 
     f has grid shape (L, n); returns the same shape.  Fully jittable; the
-    m-recursion runs as two `lax.scan`s of dense matvecs plus one batched
-    matmul for the diagonal step (SURVEY.md section 3.4).
+    m-recursion runs as two `lax.scan`s of dense matvecs (SURVEY.md
+    section 3.4).  The reference's three passes (forward / diagonal /
+    backward, code.py:366-380) are algebraically fused into two: the
+    diagonal step folds into the backward sweep as
+        u_j = G_j (u_j^{fwd} - cn_j * u_{j+1})          (corrected)
+        u_j = u_j^{fwd} - G_j (u_j^{fwd} + cn_j * u_{j+1})   (as-shipped D2)
+    so each application streams the ~(M, n, n) G stack through HBM twice
+    instead of three times — the apply is HBM-bandwidth-bound and this is a
+    1.5x on its dominant term.
 
-    The G matvecs run directly on the split-real pair (4 real matmuls —
-    exactly what a complex matmul lowers to), so the ~(M, n, n) complex G is
-    never materialized as a complex buffer.
+    The G matvecs run directly on the split-real pair (4 real matvecs as two
+    (n, n) @ (n, 2) matmuls — each G buffer is read once per step), so the
+    complex G is never materialized as a complex buffer.
     """
     b = P.b
     TF = P.TF.cplx
@@ -264,8 +273,14 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array) -> jax.Array:
     u = f
 
     def g_matvec(gre, gim, v):
-        vr, vi = jnp.real(v), jnp.imag(v)
-        return jax.lax.complex(gre @ vr - gim @ vi, gre @ vi + gim @ vr)
+        # (n, 2) RHS: one read of gre and one of gim per step.  Precision is
+        # pinned to HIGHEST: at the MXU default (bf16 inputs) the rounded G
+        # degrades the preconditioner from 5 to 7 GMRES iterations at n=1023
+        # — the apply is HBM-bound, so the extra passes are nearly free.
+        V = jnp.stack([jnp.real(v), jnp.imag(v)], axis=-1)
+        RV = jnp.matmul(gre, V, precision=jax.lax.Precision.HIGHEST)
+        IV = jnp.matmul(gim, V, precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.complex(RV[:, 0] - IV[:, 1], RV[:, 1] + IV[:, 0])
 
     # H_F solve + first correction: u_b -= A_{b+1,F} T_F u_F (code.py:364-365)
     TFuF = _block_thomas_solve(TF, hf_cs, hf_cn, u[:b])
@@ -274,8 +289,8 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array) -> jax.Array:
     # The sweeps index G per step out of the closed-over resident buffer
     # (dynamic_index_in_dim): passing G[:-1] as scan xs would materialize a
     # near-full copy of the ~8.5 GB stack.
-    M_minus_1 = Gre.shape[0] - 1
-    ks = jnp.arange(M_minus_1)
+    M_total = Gre.shape[0]
+    ks = jnp.arange(M_total - 1)
 
     def g_row(k):
         return (jax.lax.dynamic_index_in_dim(Gre, k, 0, keepdims=False),
@@ -291,25 +306,26 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array) -> jax.Array:
     _, u_fwd = jax.lax.scan(fwd, u[b], (a_cs[b + 1:], u[b + 1:], ks))
     u = jnp.concatenate([u[:b + 1], u_fwd], axis=0)
 
-    # diagonal step j = b..L-1 (batched):
-    #   corrected (D2 fixed): u_j  = G_j u_j      (paper's T~_m u_m)
-    #   as-shipped:           u_j -= G_j u_j      (code.py:375)
-    ur, ui = jnp.real(u[b:]), jnp.imag(u[b:])
-    Gu = jax.lax.complex(
-        jnp.einsum("kij,kj->ki", Gre, ur) - jnp.einsum("kij,kj->ki", Gim, ui),
-        jnp.einsum("kij,kj->ki", Gre, ui) + jnp.einsum("kij,kj->ki", Gim, ur))
-    u = u.at[b:].set(Gu if P.d2_replace else u[b:] - Gu)
-
-    # backward sweep j = L-2..b: u_j -= G_j (cn_j * u_{j+1})
+    # fused diagonal + backward sweep, j = L-1..b (reverse scan):
+    #   corrected (D2 fixed): u_j = G_j (u_j - cn_j * u_{j+1})
+    #   as-shipped (code.py:375): u_j -= G_j (u_j + cn_j * u_{j+1})
+    # (cn_{L-1} term absent for the top row: seeded via a zero carry)
     def bwd(nxt, inputs):
         cn_j, u_j, k = inputs
         gre, gim = g_row(k)
-        new = u_j - g_matvec(gre, gim, cn_j * nxt)
+        if P.d2_replace:
+            new = g_matvec(gre, gim, u_j - cn_j * nxt)
+        else:
+            new = u_j - g_matvec(gre, gim, u_j + cn_j * nxt)
         return new, new
 
+    ks_all = jnp.arange(M_total)
+    cn_top_zeroed = jnp.concatenate(
+        [a_cn[b:-1], jnp.zeros_like(a_cn[-1:])], axis=0)
     _, u_bwd = jax.lax.scan(
-        bwd, u[-1], (a_cn[b:-1], u[b:-1], ks), reverse=True)
-    u = jnp.concatenate([u[:b], u_bwd, u[-1:]], axis=0)
+        bwd, jnp.zeros_like(u[-1]), (cn_top_zeroed, u[b:], ks_all),
+        reverse=True)
+    u = jnp.concatenate([u[:b], u_bwd], axis=0)
 
     # F-block closure: u_F = T_F u_F - T_F (A_{F,b+1} u_b)  (code.py:381-384)
     rhs = jnp.zeros_like(TFuF).at[b - 1].set(a_cn[b - 1] * u[b])

@@ -88,7 +88,8 @@ def gmres(matvec: Callable, b: jax.Array, *,
     N = b.shape[0]
     dtype = b.dtype
     rdtype = jnp.finfo(dtype).dtype
-    if x0 is None:
+    x0_default = x0 is None
+    if x0_default:
         x0 = jnp.zeros_like(b)
 
     if axis_name is None:
@@ -109,15 +110,17 @@ def gmres(matvec: Callable, b: jax.Array, *,
         j, _, _, _, _, _, _, res, brk = state
         return (j < restart) & (res > tol) & (~brk)
 
+    hi = jax.lax.Precision.HIGHEST  # MXU bf16 default breaks Arnoldi in fp32
+
     def inner_step(state):
         j, V, H, cs, sn, g, _, _, brk = state
         # Arnoldi: one batched projection against the whole Krylov buffer.
         w = M(matvec(V[j]))
-        h = _allreduce(jnp.conj(V) @ w)           # (restart+1,) — rows > j are 0
-        w = w - h @ V
+        h = _allreduce(jnp.matmul(jnp.conj(V), w, precision=hi))
+        w = w - jnp.matmul(h, V, precision=hi)    # rows > j of h are 0
         # one re-orthogonalization pass for fp32 robustness
-        h2 = _allreduce(jnp.conj(V) @ w)
-        w = w - h2 @ V
+        h2 = _allreduce(jnp.matmul(jnp.conj(V), w, precision=hi))
+        w = w - jnp.matmul(h2, V, precision=hi)
         h = h + h2
         hnorm = _norm(w)
         happy = hnorm <= jnp.finfo(rdtype).eps * 100 * bnorm
@@ -143,13 +146,15 @@ def gmres(matvec: Callable, b: jax.Array, *,
         return (j + 1, V, H, cs, sn, g, j + 1, res, brk | happy)
 
     def outer_cond(state):
-        _, iters, done, _, _ = state
+        _, _, _, iters, done, _, _ = state
         return (~done) & (iters < maxiter)
 
     def outer_step(state):
-        x, iters, _, stalled, history = state
-        r = M(b - matvec(x))
-        beta = _norm(r)
+        # r / beta are the preconditioned residual of x, carried in from the
+        # previous cycle's convergence check (or the init) — recomputing them
+        # here would cost an extra matvec + preconditioner application per
+        # restart cycle, and the apply is this workload's dominant kernel.
+        x, r, beta, iters, _, stalled, history = state
         safe_beta = jnp.where(beta > 0, beta, 1.0)
 
         V = jnp.zeros((restart + 1, N), dtype).at[0].set(r / safe_beta)
@@ -180,21 +185,32 @@ def gmres(matvec: Callable, b: jax.Array, *,
 
         # Convergence is decided on a *recomputed* preconditioned residual,
         # not the Givens estimate: in fp32 the Arnoldi recurrence drifts and
-        # the estimate can undershoot by orders of magnitude.  One extra
-        # matvec+apply per restart cycle buys a trustworthy stopping test.
-        res_true = _norm(M(b - matvec(x)))
+        # the estimate can undershoot by orders of magnitude.  The recomputed
+        # residual vector is carried into the next cycle (and out of the
+        # loop), so the trustworthy stopping test costs nothing extra.
+        r_new = M(b - matvec(x))
+        res_true = _norm(r_new)
         done = res_true <= tol
         # stagnation guards (SURVEY.md section 5 'failure detection'):
         # a breakdown cycle that did not converge, or a cycle with no
         # residual reduction at all, will not improve on repeat.
         stalled = (~done) & (brk | (res_true >= beta))
-        return (x, iters + k, done | stalled, stalled, history)
+        return (x, r_new, res_true, iters + k, done | stalled, stalled,
+                history)
 
     history0 = jnp.full((hist_len,), jnp.nan, rdtype)
-    x, iters, done, stalled, history = jax.lax.while_loop(
-        outer_cond, outer_step, (x0, 0, bnorm <= tol, False, history0))
+    # x0 = 0 (the reference setting) makes the initial residual Mb, already
+    # in hand for the tolerance; a caller-supplied x0 pays one extra
+    # matvec + apply.
+    if x0_default:
+        r0, beta0 = Mb, bnorm
+    else:
+        r0 = M(b - matvec(x0))
+        beta0 = _norm(r0)
+    x, r_fin, final_res, iters, done, stalled, history = jax.lax.while_loop(
+        outer_cond, outer_step,
+        (x0, r0, beta0, 0, beta0 <= tol, False, history0))
 
-    final_res = _norm(M(b - matvec(x)))
     return KrylovResult(x=x, iterations=iters,
                         converged=final_res <= tol,
                         breakdown=stalled,
