@@ -98,7 +98,18 @@ def _solve_stage(A_pair, P_pair, f_pair, rtol, *, restart, maxiter,
     # P already stores split-real CArrays internally — pass through as-is
     # (complexifying it would materialize the ~GB-scale complex G).
     M = P_pair if use_precond else None
-    mv = lambda v: stencil_matvec_flat(A, v)
+    if jax.default_backend() == "tpu":
+        # fused Pallas stencil kernel (~0.1 ms at n=1023); the XLA
+        # shift-and-add path costs ~6 ms per product there (measured)
+        from .core.complexlib import CArray
+        from .ops.pallas.spmv_stencil import pallas_stencil_matvec
+        L, n = A_pair.grid_shape
+
+        def mv(v):
+            u = CArray.of(v.reshape(L, n))
+            return pallas_stencil_matvec(A_pair, u).cplx.reshape(-1)
+    else:
+        mv = lambda v: stencil_matvec_flat(A, v)
     if method == "gmres":
         res = gmres(mv, f.reshape(-1), M=M, restart=restart, rtol=rtol,
                     maxiter=maxiter)
@@ -235,15 +246,21 @@ def build_preconditioner(n: int, b: int, wave_num: float, const: float,
 
 
 def _host_sync(tree):
-    """Force completion of a device computation by fetching one scalar per
+    """Force completion of a device computation by fetching its smallest
     leaf to the host.  `jax.block_until_ready` does not reliably block
-    through this environment's remote-device tunnel, so wall-clock timing
-    must anchor on an actual host transfer."""
+    through the remote-device tunnel, so wall-clock timing must anchor on
+    an actual host transfer.  One leaf suffices: all outputs of a jitted
+    executable complete together, and each extra device_get round-trip
+    costs ~30 ms through the tunnel (measured, n=1023 solve)."""
     import numpy as _np
 
-    for leaf in jax.tree.leaves(tree):
-        if hasattr(leaf, "ravel") and leaf.size:
-            _np.asarray(jax.device_get(leaf.ravel()[:1]))
+    leaves = [l for l in jax.tree.leaves(tree)
+              if hasattr(l, "ravel") and getattr(l, "size", 0)]
+    if leaves:
+        smallest = min(leaves, key=lambda l: l.size)
+        if smallest.size > 1024:      # don't ship megabytes for a sync
+            smallest = smallest.ravel()[:1]
+        _np.asarray(jax.device_get(smallest))
 
 
 def _host_stencil_matvec(A_np, u):
