@@ -24,11 +24,15 @@ from .partition import DistSweepState
 
 def _g_matvec(gre, gim, v):
     # (n, 2) RHS: one read of gre and one of gim per step; HIGHEST precision
-    # so the bf16 MXU default does not degrade the sweep (precond.sweeping)
+    # so the bf16 MXU default does not degrade the sweep (precond.sweeping).
+    # G may be lane-padded to (n_pad, n_pad) (setup pad_lanes) — pad/slice.
+    n = v.shape[0]
     V = jnp.stack([jnp.real(v), jnp.imag(v)], axis=-1)
+    if gre.shape[-1] > n:
+        V = jnp.pad(V, ((0, gre.shape[-1] - n), (0, 0)))
     RV = jnp.matmul(gre, V, precision=jax.lax.Precision.HIGHEST)
     IV = jnp.matmul(gim, V, precision=jax.lax.Precision.HIGHEST)
-    return jax.lax.complex(RV[:, 0] - IV[:, 1], RV[:, 1] + IV[:, 0])
+    return jax.lax.complex(RV[:n, 0] - IV[:n, 1], RV[:n, 1] + IV[:n, 0])
 
 
 def dist_apply_preconditioner(S: DistSweepState, f_local: jax.Array, *,

@@ -94,7 +94,11 @@ def pallas_stencil_matvec(A_pair: Stencil5, u: CArray, *,
     """
     L, n = A_pair.cc.shape
     n_pad = -(-n // 128) * 128
-    bl = min(block_layers, L)
+    # VMEM budget: 12 (bl, n_pad) f32 blocks double-buffered + the
+    # (2, bl+8, n_pad) u window must stay well under the ~16 MB scoped
+    # limit (24*4*n_pad bytes per layer row + window) — cap bl accordingly.
+    bl_budget = max(8, int(8e6) // (24 * 4 * n_pad) // 8 * 8)
+    bl = min(block_layers, bl_budget, L)
     # pad the layer axis up to a block multiple (zero coeffs -> zero output)
     L_pad = -(-L // bl) * bl
 

@@ -1,0 +1,160 @@
+"""Pallas TPU kernel for the sweeping-preconditioner recursions.
+
+The forward / fused diagonal+backward sweeps of Algorithm 2.4
+(code.py:356-385; precond.sweeping.apply_preconditioner) are first-order
+matrix recurrences over the stack of subgrid corner inverses G:
+
+    fwd      : u_j   <- u_j - cs_j * (G_{j-1} @ u_{j-1})
+    bwd      : u_j   <- G_j @ (u_j - cn_j * u_{j+1})        (corrected D2)
+    bwd_sub  : u_j   <- u_j - G_j @ (u_j + cn_j * u_{j+1})  (as-shipped D2)
+
+They are HBM-bandwidth-bound: each step streams one (n, n) complex G block
+(split-real f32 pairs) against an (n,)-vector carry.  The XLA `lax.scan`
+formulation runs each step as two dependent fusions at ~380 GB/s (profiler,
+n=1023); this kernel owns the whole recursion so the G panels stream through
+VMEM with double-buffered DMA while the carry / rhs / partial-result vectors
+stay resident in VMEM scratch across grid steps (the TPU grid is sequential,
+so scratch persists — that is what makes a sequential recurrence expressible
+as a Pallas grid at all).
+
+Layout contract: G must be ZERO-padded to (Mg, n_pad, n_pad) with
+n_pad = ceil(n/128)*128 (done once at preconditioner setup).  Zero padding
+makes every padded lane exactly zero throughout the recursion — no masking
+anywhere in the kernel.  Row vectors are padded on entry here.
+
+Complex convention (core.complexlib): split re/im f32 everywhere; the
+complex matvec is two real (2, n_pad) @ (n_pad, BR)^T contractions per
+panel, at HIGHEST precision (the bf16 MXU default degrades the
+preconditioner — see precond.sweeping).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.complexlib import CArray
+
+
+def _kernel(gre, gim, u2, c2, carry0, out2, carry, rhs, w, *, mode, br, nr):
+    r = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (r == 0))
+    def _():
+        carry[...] = carry0[...]
+
+    @pl.when(r == 0)
+    def _():
+        if mode == "fwd":
+            rhs[...] = carry[...]
+        else:
+            uu = u2[0]
+            cr, ci = c2[0, 0], c2[0, 1]
+            kr, ki = carry[0], carry[1]
+            pr = cr * kr - ci * ki
+            pi = cr * ki + ci * kr
+            if mode == "bwd":
+                rhs[0, :] = uu[0] - pr
+                rhs[1, :] = uu[1] - pi
+            else:  # bwd_sub
+                rhs[0, :] = uu[0] + pr
+                rhs[1, :] = uu[1] + pi
+
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=rhs.dtype,
+    )
+    A2 = dot(rhs[...], gre[0])          # (2, BR): [Gre@vr, Gre@vi]^T
+    B2 = dot(rhs[...], gim[0])
+    w[0, pl.ds(r * br, br)] = A2[0] - B2[1]
+    w[1, pl.ds(r * br, br)] = A2[1] + B2[0]
+
+    @pl.when(r == nr - 1)
+    def _():
+        uu = u2[0]
+        if mode == "fwd":
+            cr, ci = c2[0, 0], c2[0, 1]
+            res_re = uu[0] - (cr * w[0] - ci * w[1])
+            res_im = uu[1] - (cr * w[1] + ci * w[0])
+        elif mode == "bwd":
+            res_re, res_im = w[0], w[1]
+        else:  # bwd_sub
+            res_re = uu[0] - w[0]
+            res_im = uu[1] - w[1]
+        res = jnp.stack([res_re, res_im])
+        out2[0] = res
+        carry[...] = res
+
+
+def _pack_rows(x: CArray, n_pad: int) -> jax.Array:
+    """(S, n) CArray -> (S, 2, n_pad) zero-padded real array."""
+    pad = n_pad - x.re.shape[-1]
+    p = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+    return jnp.stack([p(x.re), p(x.im)], axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "block_rows", "interpret"))
+def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
+                 mode: str, block_rows: int = 128,
+                 interpret: bool = False) -> CArray:
+    """Run one sweep recursion over the G stack.
+
+    G      : (Mg, n_pad, n_pad) CArray, zero-padded (setup_preconditioner).
+    u, c   : (S, n) CArray — per-step input rows and coupling rows.
+             fwd: S <= Mg steps use G[0..S-1] in order (pass the FULL stack
+             with S = Mg-1 to match the XLA path's k = 0..M-2; slicing G
+             would copy the multi-GB stack).
+             bwd/bwd_sub: S = Mg, steps process rows last-to-first using
+             G[Mg-1-m]; `c` must already have the top row zeroed.
+    carry0 : (n,) CArray — initial carry (fwd: the row below; bwd: zeros).
+
+    Returns the (S, n) CArray of updated rows in natural order.
+    """
+    assert mode in ("fwd", "bwd", "bwd_sub"), mode
+    Mg, n_pad, n_pad2 = G.re.shape
+    assert n_pad == n_pad2 and n_pad % 128 == 0, G.re.shape
+    S, n = u.re.shape
+    assert (S <= Mg) if mode == "fwd" else (S == Mg), (S, Mg)
+    dtype = u.re.dtype
+
+    u2 = _pack_rows(u, n_pad)
+    c2 = _pack_rows(c, n_pad)
+    pad = n_pad - carry0.re.shape[-1]
+    c0 = jnp.stack([jnp.pad(carry0.re, (0, pad)),
+                    jnp.pad(carry0.im, (0, pad))])
+
+    br = block_rows if n_pad % block_rows == 0 else 128
+    br = min(br, n_pad)
+    nr = n_pad // br
+
+    if mode == "fwd":
+        g_map = lambda m, r: (m, r, 0)
+        row_map = lambda m, r: (m, 0, 0)
+    else:
+        g_map = lambda m, r: (Mg - 1 - m, r, 0)
+        row_map = lambda m, r: (S - 1 - m, 0, 0)
+
+    g_spec = pl.BlockSpec((1, br, n_pad), g_map, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 2, n_pad), row_map, memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, mode=mode, br=br, nr=nr),
+        grid=(S, nr),
+        in_specs=[g_spec, g_spec, row_spec, row_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((S, 2, n_pad), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_pad), dtype),   # carry
+            pltpu.VMEM((2, n_pad), dtype),   # rhs
+            pltpu.VMEM((2, n_pad), dtype),   # w = G @ rhs
+        ],
+        interpret=interpret,
+    )(G.re, G.im, u2, c2, c0)
+    return CArray(out[:, 0, :n], out[:, 1, :n])

@@ -194,27 +194,44 @@ class SweepingPreconditioner:
 def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
                          hf_full_coupling: bool = True,
                          d2_replace: bool = True,
-                         setup_chunk: int = 128) -> SweepingPreconditioner:
+                         setup_chunk: int = 128,
+                         pad_lanes: bool | None = None) -> SweepingPreconditioner:
     """Algorithm 2.3 analog: factor H_F and every H_m (code.py:345-353).
 
     `hm` is the batched subgrid family from `fd.stencil.build_hm_stencils`
     (fields (M, b, n)).  The per-m Schur recursions are independent and run
     as one batched computation; `setup_chunk` bounds peak memory at
     ~3 * chunk * n^2 complex words.
+
+    `pad_lanes` (default: on for the TPU backend) stores G ZERO-padded to
+    (M, n_pad, n_pad), n_pad = ceil(n/128)*128 — the layout contract of the
+    Pallas sweep kernel (ops.pallas.sweep).  Zero padding keeps every padded
+    lane exactly zero through the whole recursion, so neither the kernel nor
+    the XLA fallback needs masking.  Cost: (n_pad/n)^2 - 1 extra G memory
+    (~0.2% at n=1023).
     """
     M, _, n = hm.cc.shape
+    if pad_lanes is None:
+        pad_lanes = jax.default_backend() == "tpu"
+    n_pad = (-(-n // 128) * 128) if pad_lanes else n
     # bound peak setup memory: a few (chunk, n, n) complex buffers live
     # inside the batched inverse, so scale the chunk down with the grid.
     setup_chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
 
+    def pad_g(x):
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+
     if M <= setup_chunk:
-        G = _schur_corner_inverse(hm)
+        T = _schur_corner_inverse(hm)
+        G = CArray(pad_g(T.real), pad_g(T.imag))
     else:
         # Chunked fori_loop writing the split-real G buffers in place
         # (dynamic_update_slice in a loop is in-place under XLA), so peak
         # memory is the final G plus one chunk of workspace — a stacked
         # lax.map would double-buffer the ~(M, n, n) result (OOM at
-        # n=1023, where G alone is ~8.5 GB).
+        # n=1023, where G alone is ~8.5 GB).  Padding happens per chunk for
+        # the same reason: padding the assembled stack would transiently
+        # double it.
         rdtype = hm.cc.real.dtype
         n_chunks = -(-M // setup_chunk)
 
@@ -227,13 +244,16 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
                 lambda f: jax.lax.dynamic_slice_in_dim(f, start, setup_chunk, 0),
                 hm)
             Tc = _schur_corner_inverse(h_chunk)
-            G_re = jax.lax.dynamic_update_slice_in_dim(G_re, Tc.real, start, 0)
-            G_im = jax.lax.dynamic_update_slice_in_dim(G_im, Tc.imag, start, 0)
+            G_re = jax.lax.dynamic_update_slice_in_dim(
+                G_re, pad_g(Tc.real), start, 0)
+            G_im = jax.lax.dynamic_update_slice_in_dim(
+                G_im, pad_g(Tc.imag), start, 0)
             return (G_re, G_im)
 
         G_re, G_im = jax.lax.fori_loop(
             0, n_chunks, body,
-            (jnp.zeros((M, n, n), rdtype), jnp.zeros((M, n, n), rdtype)))
+            (jnp.zeros((M, n_pad, n_pad), rdtype),
+             jnp.zeros((M, n_pad, n_pad), rdtype)))
         G = CArray(G_re, G_im)
 
     HF = fd_stencil.extract_hf_stencil(A, b, full_coupling=hf_full_coupling)
@@ -247,7 +267,8 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
         b=b, d2_replace=d2_replace)
 
 
-def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array) -> jax.Array:
+def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
+                         impl: str = "auto") -> jax.Array:
     """Algorithm 2.4 analog: one sweep solve u ~= A^{-1} f (code.py:356-385).
 
     f has grid shape (L, n); returns the same shape.  Fully jittable; the
@@ -264,12 +285,22 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array) -> jax.Array:
     The G matvecs run directly on the split-real pair (4 real matvecs as two
     (n, n) @ (n, 2) matmuls — each G buffer is read once per step), so the
     complex G is never materialized as a complex buffer.
+
+    `impl`: "pallas" runs the two sweeps as the Pallas recursion kernel
+    (ops.pallas.sweep — requires the lane-padded G layout, interpret mode on
+    CPU), "xla" the lax.scan formulation, "auto" picks Pallas on TPU when
+    the layout allows.
     """
     b = P.b
+    L, n = P.grid_shape
     TF = P.TF.cplx
     hf_cs, hf_cn = P.hf_cs.cplx, P.hf_cn.cplx
     a_cs, a_cn = P.a_cs.cplx, P.a_cn.cplx
     Gre, Gim = P.G.re, P.G.im
+    n_pad = Gre.shape[-1]          # lane-padded G (setup pad_lanes)
+    if impl == "auto":
+        impl = ("pallas" if (jax.default_backend() == "tpu"
+                             and n_pad % 128 == 0) else "xla")
     u = f
 
     def g_matvec(gre, gim, v):
@@ -278,54 +309,72 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array) -> jax.Array:
         # degrades the preconditioner from 5 to 7 GMRES iterations at n=1023
         # — the apply is HBM-bound, so the extra passes are nearly free.
         V = jnp.stack([jnp.real(v), jnp.imag(v)], axis=-1)
+        if n_pad > n:
+            V = jnp.pad(V, ((0, n_pad - n), (0, 0)))
         RV = jnp.matmul(gre, V, precision=jax.lax.Precision.HIGHEST)
         IV = jnp.matmul(gim, V, precision=jax.lax.Precision.HIGHEST)
-        return jax.lax.complex(RV[:, 0] - IV[:, 1], RV[:, 1] + IV[:, 0])
+        return jax.lax.complex(RV[:n, 0] - IV[:n, 1], RV[:n, 1] + IV[:n, 0])
 
     # H_F solve + first correction: u_b -= A_{b+1,F} T_F u_F (code.py:364-365)
     TFuF = _block_thomas_solve(TF, hf_cs, hf_cn, u[:b])
     u = u.at[b].add(-a_cs[b] * TFuF[b - 1])
 
-    # The sweeps index G per step out of the closed-over resident buffer
-    # (dynamic_index_in_dim): passing G[:-1] as scan xs would materialize a
-    # near-full copy of the ~8.5 GB stack.
     M_total = Gre.shape[0]
-    ks = jnp.arange(M_total - 1)
-
-    def g_row(k):
-        return (jax.lax.dynamic_index_in_dim(Gre, k, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(Gim, k, 0, keepdims=False))
-
-    # forward sweep j = b+1..L-1: u_j -= cs_j * (G_{j-1} u_{j-1})
-    def fwd(prev, inputs):
-        cs_j, u_j, k = inputs
-        gre, gim = g_row(k)
-        new = u_j - cs_j * g_matvec(gre, gim, prev)
-        return new, new
-
-    _, u_fwd = jax.lax.scan(fwd, u[b], (a_cs[b + 1:], u[b + 1:], ks))
-    u = jnp.concatenate([u[:b + 1], u_fwd], axis=0)
-
-    # fused diagonal + backward sweep, j = L-1..b (reverse scan):
-    #   corrected (D2 fixed): u_j = G_j (u_j - cn_j * u_{j+1})
-    #   as-shipped (code.py:375): u_j -= G_j (u_j + cn_j * u_{j+1})
-    # (cn_{L-1} term absent for the top row: seeded via a zero carry)
-    def bwd(nxt, inputs):
-        cn_j, u_j, k = inputs
-        gre, gim = g_row(k)
-        if P.d2_replace:
-            new = g_matvec(gre, gim, u_j - cn_j * nxt)
-        else:
-            new = u_j - g_matvec(gre, gim, u_j + cn_j * nxt)
-        return new, new
-
-    ks_all = jnp.arange(M_total)
     cn_top_zeroed = jnp.concatenate(
         [a_cn[b:-1], jnp.zeros_like(a_cn[-1:])], axis=0)
-    _, u_bwd = jax.lax.scan(
-        bwd, jnp.zeros_like(u[-1]), (cn_top_zeroed, u[b:], ks_all),
-        reverse=True)
-    u = jnp.concatenate([u[:b], u_bwd], axis=0)
+
+    if impl == "pallas":
+        from ..ops.pallas.sweep import pallas_sweep
+        interp = jax.default_backend() == "cpu"
+        rows = lambda z, sl: CArray(z.re[sl], z.im[sl])
+        if M_total > 1:
+            u_fwd = pallas_sweep(
+                P.G, CArray.of(u[b + 1:]), rows(P.a_cs, slice(b + 1, None)),
+                CArray.of(u[b]), mode="fwd", interpret=interp)
+            u = jnp.concatenate([u[:b + 1], u_fwd.cplx], axis=0)
+        u_bwd = pallas_sweep(
+            P.G, CArray.of(u[b:]), CArray.of(cn_top_zeroed),
+            CArray.of(jnp.zeros_like(u[-1])),
+            mode=("bwd" if P.d2_replace else "bwd_sub"), interpret=interp)
+        u = jnp.concatenate([u[:b], u_bwd.cplx], axis=0)
+    else:
+        # The sweeps index G per step out of the closed-over resident buffer
+        # (dynamic_index_in_dim): passing G[:-1] as scan xs would materialize
+        # a near-full copy of the ~8.5 GB stack.
+        ks = jnp.arange(M_total - 1)
+
+        def g_row(k):
+            return (jax.lax.dynamic_index_in_dim(Gre, k, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(Gim, k, 0, keepdims=False))
+
+        # forward sweep j = b+1..L-1: u_j -= cs_j * (G_{j-1} u_{j-1})
+        def fwd(prev, inputs):
+            cs_j, u_j, k = inputs
+            gre, gim = g_row(k)
+            new = u_j - cs_j * g_matvec(gre, gim, prev)
+            return new, new
+
+        _, u_fwd = jax.lax.scan(fwd, u[b], (a_cs[b + 1:], u[b + 1:], ks))
+        u = jnp.concatenate([u[:b + 1], u_fwd], axis=0)
+
+        # fused diagonal + backward sweep, j = L-1..b (reverse scan):
+        #   corrected (D2 fixed): u_j = G_j (u_j - cn_j * u_{j+1})
+        #   as-shipped (code.py:375): u_j -= G_j (u_j + cn_j * u_{j+1})
+        # (cn_{L-1} term absent for the top row: seeded via a zero carry)
+        def bwd(nxt, inputs):
+            cn_j, u_j, k = inputs
+            gre, gim = g_row(k)
+            if P.d2_replace:
+                new = g_matvec(gre, gim, u_j - cn_j * nxt)
+            else:
+                new = u_j - g_matvec(gre, gim, u_j + cn_j * nxt)
+            return new, new
+
+        ks_all = jnp.arange(M_total)
+        _, u_bwd = jax.lax.scan(
+            bwd, jnp.zeros_like(u[-1]), (cn_top_zeroed, u[b:], ks_all),
+            reverse=True)
+        u = jnp.concatenate([u[:b], u_bwd], axis=0)
 
     # F-block closure: u_F = T_F u_F - T_F (A_{F,b+1} u_b)  (code.py:381-384)
     rhs = jnp.zeros_like(TFuF).at[b - 1].set(a_cn[b - 1] * u[b])

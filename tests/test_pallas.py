@@ -35,3 +35,44 @@ def test_pallas_stencil_spmv_block_not_dividing():
     y_ref = (prob.A.todense() @ np.ones(cfg.n**2)).reshape(cfg.n, cfg.n)
     np.testing.assert_allclose(y.to_np(), y_ref, rtol=2e-5,
                                atol=2e-5 * np.abs(y_ref).max())
+
+
+def _padded_preconditioner(cfg, prob, cdtype):
+    from helmholtz_tpu.fd import stencil
+    from helmholtz_tpu.precond.sweeping import setup_preconditioner
+
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity,
+                                   complex_dtype=cdtype)
+    P_plain = setup_preconditioner(prob.A, hm, cfg.b, pad_lanes=False)
+    P_pad = setup_preconditioner(prob.A, hm, cfg.b, pad_lanes=True)
+    return P_plain, P_pad
+
+
+def test_pallas_sweep_matches_xla_apply():
+    """The Pallas sweep kernel (interpret mode) must reproduce the XLA scan
+    apply on the lane-padded layout, for both D2 variants."""
+    from helmholtz_tpu.precond.sweeping import apply_preconditioner
+    import dataclasses
+
+    cfg = HelmholtzConfig(n=33, b=6, wave_num=2.0, const=20.0)
+    prob = assemble_problem(cfg, "c1_f1", complex_dtype=jnp.complex128)
+    P_plain, P_pad = _padded_preconditioner(cfg, prob, jnp.complex128)
+    assert P_pad.G.re.shape[-1] == 128     # actually padded
+    assert P_plain.G.re.shape[-1] == cfg.n
+
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+
+    for d2 in (True, False):
+        Pp = dataclasses.replace(P_pad, d2_replace=d2)
+        P0 = dataclasses.replace(P_plain, d2_replace=d2)
+        ref = apply_preconditioner(P0, f, impl="xla")
+        pad_xla = apply_preconditioner(Pp, f, impl="xla")
+        pad_pallas = apply_preconditioner(Pp, f, impl="pallas")
+        np.testing.assert_allclose(np.asarray(pad_xla), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pad_pallas), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-10)
