@@ -2,9 +2,12 @@
 
 The Helmholtz fast path is `stencil_matvec`: a fused element-wise stencil
 application on the VPU, the TPU-native replacement for the reference's CSR
-SpMV inside scipy's GMRES (SURVEY.md section 3.1 hot loop 2).  Generic
-CSR/COO SpMV (segment-sum based, jittable) covers arbitrary sparsity; a
-Pallas CSR kernel lives in `ops.pallas.spmv_csr`.
+SpMV inside scipy's GMRES (SURVEY.md section 3.1 hot loop 2); its Pallas
+form is `ops.pallas.spmv_stencil` (the solve-path kernel on TPU).  Generic
+CSR/COO SpMV (segment-sum based, jittable) covers arbitrary sparsity —
+scalar gather is the one pattern the TPU vector units do not accelerate,
+so unstructured CSR stays on the XLA scatter/segment-sum path while
+block-sparse work goes through BSR and the MXU (`ops.pallas.bsr_spmm`).
 
 All routines accept a trailing batch of right-hand sides (SpMM) — multi-RHS /
 multi-frequency batching is the parallelism that fills the sweep pipeline

@@ -85,3 +85,28 @@ def test_gmres_helmholtz_unpreconditioned_tracks_scipy(rtol):
     true_res = np.linalg.norm(A @ np.asarray(res.x) - f) / np.linalg.norm(f)
     assert true_res <= rtol * 1.01
     assert abs(int(res.iterations) - len(counter)) <= max(5, len(counter) // 4)
+
+
+def test_gmres_nonzero_initial_guess():
+    """x0 != 0 pays one extra residual evaluation but must converge to the
+    same solution (exercises the carried-residual init path)."""
+    A, b = _random_system(90, seed=5)
+    x_direct = np.linalg.solve(A, b)
+    x0 = jnp.asarray(x_direct + 0.01 * (np.arange(90) % 3 - 1))
+    res = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), x0=x0,
+                restart=20, rtol=1e-10, maxiter=200)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_direct, rtol=1e-7)
+    # warm start near the solution must beat the cold start
+    cold = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                 restart=20, rtol=1e-10, maxiter=200)
+    assert int(res.iterations) <= int(cold.iterations)
+
+
+def test_gmres_exact_x0_converges_immediately():
+    A, b = _random_system(60, seed=6)
+    x_direct = np.linalg.solve(A, b)
+    res = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                x0=jnp.asarray(x_direct), restart=10, rtol=1e-8, maxiter=50)
+    assert bool(res.converged)
+    assert int(res.iterations) == 0

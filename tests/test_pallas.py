@@ -76,3 +76,28 @@ def test_pallas_sweep_matches_xla_apply():
                                    rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(np.asarray(pad_pallas), np.asarray(ref),
                                    rtol=1e-10, atol=1e-10)
+
+
+def test_pallas_bsr_spmm_matches_dense():
+    """Scalar-prefetch BSR SpMM kernel (interpret mode) vs dense product,
+    including an empty block-row."""
+    from helmholtz_tpu.core.sparse import BSR
+    from helmholtz_tpu.ops.pallas.bsr_spmm import pallas_bsr_matmat
+
+    rng = np.random.default_rng(3)
+    bm = bn = 8
+    nbr, nbc, K = 6, 5, 16
+    dense = (rng.standard_normal((nbr * bm, nbc * bn))
+             + 1j * rng.standard_normal((nbr * bm, nbc * bn)))
+    # sparsify: keep ~40% of blocks, empty out block-row 3 entirely
+    blocks = dense.reshape(nbr, bm, nbc, bn)
+    keep = rng.random((nbr, nbc)) < 0.4
+    keep[3, :] = False
+    keep[0, 0] = True
+    dense = (blocks * keep[:, None, :, None]).reshape(nbr * bm, nbc * bn)
+
+    A = BSR.fromdense(jnp.asarray(dense, jnp.complex64), (bm, bn))
+    X = (rng.standard_normal((nbc * bn, K))
+         + 1j * rng.standard_normal((nbc * bn, K))).astype(np.complex64)
+    Y = pallas_bsr_matmat(A, jnp.asarray(X), interpret=True)
+    np.testing.assert_allclose(Y.to_np(), dense @ X, rtol=1e-4, atol=1e-4)
