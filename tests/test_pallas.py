@@ -101,3 +101,16 @@ def test_pallas_bsr_spmm_matches_dense():
          + 1j * rng.standard_normal((nbc * bn, K))).astype(np.complex64)
     Y = pallas_bsr_matmat(A, jnp.asarray(X), interpret=True)
     np.testing.assert_allclose(Y.to_np(), dense @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_gj_inverse_matches_linalg():
+    from helmholtz_tpu.ops.pallas.gj_inverse import pallas_gj_inverse
+
+    rng = np.random.default_rng(4)
+    B, k = 5, 96          # odd batch exercises identity padding
+    A = (rng.standard_normal((B, k, k))
+         + 1j * rng.standard_normal((B, k, k))) / k
+    A = A + 2.0 * np.eye(k)
+    X = pallas_gj_inverse(CArray.of(jnp.asarray(A)), interpret=True)
+    np.testing.assert_allclose(X.to_np(), np.linalg.inv(A),
+                               rtol=1e-9, atol=1e-9)
