@@ -192,9 +192,13 @@ def gmres(matvec: Callable, b: jax.Array, *,
         res_true = _norm(r_new)
         done = res_true <= tol
         # stagnation guards (SURVEY.md section 5 'failure detection'):
-        # a breakdown cycle that did not converge, or a cycle with no
-        # residual reduction at all, will not improve on repeat.
-        stalled = (~done) & (brk | (res_true >= beta))
+        # a breakdown cycle that did not converge, a cycle with no residual
+        # reduction at all, or a cycle that performed zero inner iterations
+        # (NaN/Inf residuals make every comparison false, so without the
+        # k == 0 guard the outer loop would spin forever without ever
+        # advancing `iters`) will not improve on repeat.
+        stalled = (~done) & (brk | (res_true >= beta) | (k == 0)
+                             | ~jnp.isfinite(res_true))
         return (x, r_new, res_true, iters + k, done | stalled, stalled,
                 history)
 

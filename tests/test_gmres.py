@@ -110,3 +110,31 @@ def test_gmres_exact_x0_converges_immediately():
                 x0=jnp.asarray(x_direct), restart=10, rtol=1e-8, maxiter=50)
     assert bool(res.converged)
     assert int(res.iterations) == 0
+
+
+def test_gmres_nan_rhs_terminates_with_breakdown():
+    """NaN data must terminate promptly with the breakdown flag set, not
+    spin the outer loop (SURVEY.md section 5 'failure detection')."""
+    A, b = _random_system(40, seed=7)
+    b = np.asarray(b)
+    b[3] = np.nan
+    res = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                restart=10, rtol=1e-8, maxiter=100)
+    assert not bool(res.converged)
+    assert bool(res.breakdown)
+    assert int(res.iterations) <= 10
+
+
+def test_gmres_deterministic_history():
+    """Same inputs => bitwise-identical residual history (SURVEY.md
+    section 5 'race detection / determinism checks')."""
+    cfg = HelmholtzConfig(n=31, b=6, wave_num=2.0, const=30.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    mv = lambda v: stencil_matvec_flat(prob.A, v)
+    r1 = gmres(mv, prob.f_vec, restart=20, rtol=1e-6, maxiter=200)
+    r2 = gmres(mv, prob.f_vec, restart=20, rtol=1e-6, maxiter=200)
+    h1, h2 = np.asarray(r1.history), np.asarray(r2.history)
+    mask = ~np.isnan(h1)
+    assert np.array_equal(mask, ~np.isnan(h2))
+    assert np.array_equal(h1[mask], h2[mask])
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
