@@ -120,3 +120,46 @@ def measure_spmv(n: int = 1023, use_pallas: bool = True) -> dict:
         "measured_stream_bw_gb_s": bw,
         "roofline_fraction": (gb_coeff / dt) / bw,
     }
+
+
+def measure_sweep(n: int = 1023, b: int = 12) -> dict:
+    """Preconditioner-apply throughput vs the G-stack streaming roofline.
+
+    One apply streams the (M, n, n) split-complex corner-inverse stack
+    twice (forward sweep + fused diagonal/backward sweep —
+    precond.sweeping.apply_preconditioner), which is its dominant traffic;
+    the fraction is reported against measured streaming bandwidth.
+    """
+    from ..core.complexlib import CArray
+    from ..driver import _assemble_stage, _factor_stage
+    from ..precond.sweeping import apply_preconditioner
+    from ..core.complexlib import complexify
+
+    wf = jnp.result_type(float)
+    cdtype = jnp.complex64 if wf == jnp.float32 else jnp.complex128
+    (A_pair, hm_pair, f_pair), _ = _assemble_stage(
+        jnp.asarray(16.0, wf), jnp.asarray(81.0, wf), jnp.asarray(2.0, wf),
+        n=n, b=b, problem="c1_f1", cdtype=cdtype, fidelity="as-shipped")
+    P = _factor_stage(A_pair, hm_pair, b=b, hf_full_coupling=True,
+                      d2_replace=True, setup_chunk=128)
+    f0 = complexify(f_pair)
+
+    def step(u):
+        v = apply_preconditioner(P, u)
+        return v * (1.0 / (1.0 + 1e-6))
+
+    dt = _timed_loop(step, f0, iters=5)
+    M, n_pad = P.G.re.shape[0], P.G.re.shape[-1]
+    itemsize = np.dtype(P.G.re.dtype).itemsize
+    g_gb = 2 * 2 * M * n_pad * n_pad * itemsize / 1e9   # 2 passes, re+im
+    bw = measure_streaming_bw()
+    return {
+        "kernel": "sweep_apply",
+        "n": n,
+        "subgrids": M,
+        "s_per_apply": dt,
+        "g_traffic_gb_per_apply": g_gb,
+        "effective_gb_per_s": g_gb / dt,
+        "measured_stream_bw_gb_s": bw,
+        "roofline_fraction": (g_gb / dt) / bw,
+    }

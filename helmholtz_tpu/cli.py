@@ -131,6 +131,12 @@ def cmd_sweep(args):
     return 0
 
 
+def cmd_bench_sweep(args):
+    import json
+    from .bench.roofline import measure_sweep
+    print(json.dumps(measure_sweep(args.n, b=args.b)))
+
+
 def cmd_bench_spmv(args):
     from .bench.roofline import measure_spmv
 
@@ -164,6 +170,12 @@ def main(argv=None):
     p.add_argument("--pallas", action="store_true", default=True)
     p.add_argument("--both", action="store_true")
     p.set_defaults(fn=cmd_bench_spmv)
+
+    p = sub.add_parser("bench-sweep",
+                       help="preconditioner-apply roofline measurement")
+    p.add_argument("--n", type=int, default=1023)
+    p.add_argument("--b", type=int, default=12)
+    p.set_defaults(fn=cmd_bench_sweep)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -68,3 +68,12 @@ def test_gmres_counter_replay(capsys):
     c.replay([1e-1, 1e-3, float("nan")])
     out = capsys.readouterr().out
     assert c.niter == 2 and "iter   1" in out
+
+
+def test_roofline_measure_sweep_smoke():
+    from helmholtz_tpu.bench.roofline import measure_sweep
+
+    r = measure_sweep(n=17, b=4)
+    assert r["subgrids"] == 13
+    assert r["s_per_apply"] > 0
+    assert np.isfinite(r["effective_gb_per_s"])
