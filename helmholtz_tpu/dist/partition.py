@@ -47,7 +47,9 @@ def make_mesh(n_devices: int | None = None, axis_name: str = LAYER_AXIS) -> Mesh
 class DistSweepState:
     """Row-aligned distributed preconditioner state (split-real storage)."""
 
-    G_pad: CArray    # (L, n, n): G_pad[j] acts on row j; zero for j < b
+    G_pad: CArray    # (L, n_pad, n_pad): G_pad[j] acts on row j; zero for
+                     # j < b; trailing dims lane-padded when the source
+                     # preconditioner was built with pad_lanes
     TF: CArray       # (b, n, n), replicated
     hf_cs: CArray    # (b, n), replicated
     hf_cn: CArray    # (b, n), replicated

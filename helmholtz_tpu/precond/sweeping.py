@@ -163,10 +163,12 @@ class SweepingPreconditioner:
     at-rest state (G is ~8.5 GB at n=1023) and must be storable in TPU HBM,
     which has no complex buffer type (core.complexlib).
 
-    G    : (M, n, n), M = n-b — corner inverses G_m of each subgrid H_m;
-           G[k] acts on grid row j = b+k (0-based), i.e. the subgrid whose
-           top layer is j.  This replaces the reference's list of n-b
-           SuperLU factor objects (code.py:348-353).
+    G    : (M, n_pad, n_pad), M = n-b — corner inverses G_m of each subgrid
+           H_m, ZERO-padded to lane multiples when built with pad_lanes
+           (n_pad = ceil(n/128)*128; n_pad = n otherwise); G[k] acts on grid
+           row j = b+k (0-based), i.e. the subgrid whose top layer is j.
+           This replaces the reference's list of n-b SuperLU factor objects
+           (code.py:348-353).
     TF   : (b, n, n) — block-Thomas Schur-inverse stack for H_F.
     hf_*: H_F interlayer couplings; a_*: the global operator's interlayer
            couplings (rows of A.cs / A.cn — code.py:499-507 equivalents).
