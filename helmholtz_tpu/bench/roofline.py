@@ -21,23 +21,28 @@ import jax
 import jax.numpy as jnp
 
 
-def _timed_loop(fn, init, iters=50):
-    """Run state -> state `fn` on device; s/iteration.
+def _timed_loop(fn, init, iters=50, args=()):
+    """Run state -> state `fn(state, *args)` on device; s/iteration.
 
     Two-point measurement: times loops of `iters` and `5*iters` steps and
     divides the difference — the fixed per-call cost (remote dispatch +
     host-fetch round trip, ~30-70 ms in this environment) cancels out.
+
+    Large operands MUST come through `args`, not a closure: jit embeds
+    closed-over arrays as compile-time constants, which ships them through
+    the remote compiler (8.6 GB for the n=1023 factor stack — found the
+    hard way).
     """
     @jax.jit
-    def loop(x, k):
-        return jax.lax.fori_loop(0, k, lambda _, s: fn(s), x,
+    def loop(x, k, *a):
+        return jax.lax.fori_loop(0, k, lambda _, s: fn(s, *a), x,
                                  unroll=False)
 
     def run(k):
-        r = loop(init, k)
+        r = loop(init, k, *args)
         _sync(r)
         t0 = time.perf_counter()
-        r = loop(init, k)
+        r = loop(init, k, *args)
         _sync(r)
         return time.perf_counter() - t0
 
@@ -89,17 +94,15 @@ def measure_spmv(n: int = 1023, use_pallas: bool = True) -> dict:
     u0 = CArray(f_pair.re.reshape(n, n), f_pair.im.reshape(n, n))
 
     if use_pallas:
-        def step(u):
-            y = pallas_stencil_matvec(A_pair, u)
+        def step(u, Ap):
+            y = pallas_stencil_matvec(Ap, u)
             return CArray(y.re * 1e-3, y.im * 1e-3)
     else:
-        A = None
-
-        def step(u):
-            y = pairify(stencil_matvec(complexify(A_pair), u.cplx) * 1e-3)
+        def step(u, Ap):
+            y = pairify(stencil_matvec(complexify(Ap), u.cplx) * 1e-3)
             return y
 
-    dt = _timed_loop(step, u0, iters=50)
+    dt = _timed_loop(step, u0, iters=50, args=(A_pair,))
     nnz = 5 * n * n - 4 * n
     itemsize = np.dtype(u0.re.dtype).itemsize
     # Two traffic models: 14 arrays (coeffs + u + y — the GMRES situation,
@@ -144,11 +147,11 @@ def measure_sweep(n: int = 1023, b: int = 12) -> dict:
                       d2_replace=True, setup_chunk=128)
     f0 = complexify(f_pair)
 
-    def step(u):
-        v = apply_preconditioner(P, u)
+    def step(u, Pa):
+        v = apply_preconditioner(Pa, u)
         return v * (1.0 / (1.0 + 1e-6))
 
-    dt = _timed_loop(step, f0, iters=5)
+    dt = _timed_loop(step, f0, iters=5, args=(P,))
     M, n_pad = P.G.re.shape[0], P.G.re.shape[-1]
     itemsize = np.dtype(P.G.re.dtype).itemsize
     g_gb = 2 * 2 * M * n_pad * n_pad * itemsize / 1e9   # 2 passes, re+im

@@ -17,15 +17,21 @@ stay resident in VMEM scratch across grid steps (the TPU grid is sequential,
 so scratch persists — that is what makes a sequential recurrence expressible
 as a Pallas grid at all).
 
+Batched right-hand sides (R > 1 — SURVEY.md section 2.3 'batched RHS
+parallelism', BASELINE config 5) ride the SAME G stream: the per-panel
+contraction grows from (2, n_pad) to (2R, n_pad) rows, so R solves cost one
+solve of G traffic and better MXU utilization, instead of `vmap` re-reading
+the multi-GB stack per RHS.
+
 Layout contract: G must be ZERO-padded to (Mg, n_pad, n_pad) with
 n_pad = ceil(n/128)*128 (done once at preconditioner setup).  Zero padding
 makes every padded lane exactly zero throughout the recursion — no masking
 anywhere in the kernel.  Row vectors are padded on entry here.
 
-Complex convention (core.complexlib): split re/im f32 everywhere; the
-complex matvec is two real (2, n_pad) @ (n_pad, BR)^T contractions per
-panel, at HIGHEST precision (the bf16 MXU default degrades the
-preconditioner — see precond.sweeping).
+Complex convention (core.complexlib): split re/im f32 planes; the complex
+matvec is two real (2R, n_pad) x (BR, n_pad)^T contractions per panel, at
+HIGHEST precision (the bf16 MXU default degrades the preconditioner — see
+precond.sweeping).
 """
 from __future__ import annotations
 
@@ -39,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.complexlib import CArray
 
 
-def _kernel(gre, gim, u2, c2, carry0, out2, carry, rhs, w, *, mode, br, nr):
+def _kernel(gre, gim, u2, c2, carry0, out2, carry, rhs, w, *,
+            mode, br, nr, nrhs, n_pad):
     r = pl.program_id(1)
 
     @pl.when((pl.program_id(0) == 0) & (r == 0))
@@ -51,17 +58,17 @@ def _kernel(gre, gim, u2, c2, carry0, out2, carry, rhs, w, *, mode, br, nr):
         if mode == "fwd":
             rhs[...] = carry[...]
         else:
-            uu = u2[0]
-            cr, ci = c2[0, 0], c2[0, 1]
-            kr, ki = carry[0], carry[1]
+            uu = u2[0]                       # (2, R, n_pad)
+            cr, ci = c2[0, 0], c2[0, 1]      # (n_pad,) broadcast over R
+            kr, ki = carry[0], carry[1]      # (R, n_pad)
             pr = cr * kr - ci * ki
             pi = cr * ki + ci * kr
             if mode == "bwd":
-                rhs[0, :] = uu[0] - pr
-                rhs[1, :] = uu[1] - pi
+                rhs[0] = uu[0] - pr
+                rhs[1] = uu[1] - pi
             else:  # bwd_sub
-                rhs[0, :] = uu[0] + pr
-                rhs[1, :] = uu[1] + pi
+                rhs[0] = uu[0] + pr
+                rhs[1] = uu[1] + pi
 
     dot = functools.partial(
         jax.lax.dot_general,
@@ -69,10 +76,11 @@ def _kernel(gre, gim, u2, c2, carry0, out2, carry, rhs, w, *, mode, br, nr):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=rhs.dtype,
     )
-    A2 = dot(rhs[...], gre[0])          # (2, BR): [Gre@vr, Gre@vi]^T
-    B2 = dot(rhs[...], gim[0])
-    w[0, pl.ds(r * br, br)] = A2[0] - B2[1]
-    w[1, pl.ds(r * br, br)] = A2[1] + B2[0]
+    flat = rhs[...].reshape(2 * nrhs, n_pad)
+    A2 = dot(flat, gre[0]).reshape(2, nrhs, br)   # [Gre@vr, Gre@vi] planes
+    B2 = dot(flat, gim[0]).reshape(2, nrhs, br)
+    w[0, :, pl.ds(r * br, br)] = A2[0] - B2[1]
+    w[1, :, pl.ds(r * br, br)] = A2[1] + B2[0]
 
     @pl.when(r == nr - 1)
     def _():
@@ -92,9 +100,9 @@ def _kernel(gre, gim, u2, c2, carry0, out2, carry, rhs, w, *, mode, br, nr):
 
 
 def _pack_rows(x: CArray, n_pad: int) -> jax.Array:
-    """(S, n) CArray -> (S, 2, n_pad) zero-padded real array."""
+    """(S, R, n) CArray -> (S, 2, R, n_pad) zero-padded real array."""
     pad = n_pad - x.re.shape[-1]
-    p = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+    p = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
     return jnp.stack([p(x.re), p(x.im)], axis=1)
 
 
@@ -106,28 +114,34 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     """Run one sweep recursion over the G stack.
 
     G      : (Mg, n_pad, n_pad) CArray, zero-padded (setup_preconditioner).
-    u, c   : (S, n) CArray — per-step input rows and coupling rows.
+    u      : (S, n) or (S, R, n) CArray — per-step input rows, optionally
+             with R batched right-hand sides sharing the G stream.
              fwd: S <= Mg steps use G[0..S-1] in order (pass the FULL stack
              with S = Mg-1 to match the XLA path's k = 0..M-2; slicing G
              would copy the multi-GB stack).
              bwd/bwd_sub: S = Mg, steps process rows last-to-first using
              G[Mg-1-m]; `c` must already have the top row zeroed.
-    carry0 : (n,) CArray — initial carry (fwd: the row below; bwd: zeros).
+    c      : (S, n) CArray — coupling rows (shared across RHS).
+    carry0 : (n,) or (R, n) CArray — initial carry (fwd: the row below;
+             bwd: zeros).
 
-    Returns the (S, n) CArray of updated rows in natural order.
+    Returns the (S, n) / (S, R, n) CArray of updated rows in natural order.
     """
     assert mode in ("fwd", "bwd", "bwd_sub"), mode
     Mg, n_pad, n_pad2 = G.re.shape
     assert n_pad == n_pad2 and n_pad % 128 == 0, G.re.shape
-    S, n = u.re.shape
+    squeeze = u.re.ndim == 2
+    if squeeze:
+        u = CArray(u.re[:, None, :], u.im[:, None, :])
+        carry0 = CArray(carry0.re[None, :], carry0.im[None, :])
+    S, nrhs, n = u.re.shape
     assert (S <= Mg) if mode == "fwd" else (S == Mg), (S, Mg)
     dtype = u.re.dtype
 
-    u2 = _pack_rows(u, n_pad)
-    c2 = _pack_rows(c, n_pad)
-    pad = n_pad - carry0.re.shape[-1]
-    c0 = jnp.stack([jnp.pad(carry0.re, (0, pad)),
-                    jnp.pad(carry0.im, (0, pad))])
+    u2 = _pack_rows(u, n_pad)                          # (S, 2, R, n_pad)
+    c2 = _pack_rows(CArray(c.re[:, None, :], c.im[:, None, :]), n_pad)
+    pad = ((0, 0), (0, n_pad - carry0.re.shape[-1]))
+    c0 = jnp.stack([jnp.pad(carry0.re, pad), jnp.pad(carry0.im, pad)])
 
     br = block_rows if n_pad % block_rows == 0 else 128
     br = min(br, n_pad)
@@ -135,26 +149,33 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
 
     if mode == "fwd":
         g_map = lambda m, r: (m, r, 0)
-        row_map = lambda m, r: (m, 0, 0)
+        row_map = lambda m, r: (m, 0, 0, 0)
     else:
         g_map = lambda m, r: (Mg - 1 - m, r, 0)
-        row_map = lambda m, r: (S - 1 - m, 0, 0)
+        row_map = lambda m, r: (S - 1 - m, 0, 0, 0)
 
     g_spec = pl.BlockSpec((1, br, n_pad), g_map, memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, 2, n_pad), row_map, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 2, nrhs, n_pad), row_map,
+                            memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((1, 2, 1, n_pad), row_map,
+                          memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, mode=mode, br=br, nr=nr),
+        functools.partial(_kernel, mode=mode, br=br, nr=nr, nrhs=nrhs,
+                          n_pad=n_pad),
         grid=(S, nr),
-        in_specs=[g_spec, g_spec, row_spec, row_spec,
+        in_specs=[g_spec, g_spec, row_spec, c_spec,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((S, 2, n_pad), dtype),
+        out_shape=jax.ShapeDtypeStruct((S, 2, nrhs, n_pad), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, n_pad), dtype),   # carry
-            pltpu.VMEM((2, n_pad), dtype),   # rhs
-            pltpu.VMEM((2, n_pad), dtype),   # w = G @ rhs
+            pltpu.VMEM((2, nrhs, n_pad), dtype),   # carry
+            pltpu.VMEM((2, nrhs, n_pad), dtype),   # rhs
+            pltpu.VMEM((2, nrhs, n_pad), dtype),   # w = G @ rhs
         ],
         interpret=interpret,
     )(G.re, G.im, u2, c2, c0)
-    return CArray(out[:, 0, :n], out[:, 1, :n])
+    res = CArray(out[:, 0, :, :n], out[:, 1, :, :n])
+    if squeeze:
+        res = CArray(res.re[:, 0], res.im[:, 0])
+    return res

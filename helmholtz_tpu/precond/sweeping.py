@@ -384,6 +384,78 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
     return jnp.concatenate([uF, u[b:]], axis=0)
 
 
+def apply_preconditioner_multi(P: SweepingPreconditioner, F: jax.Array,
+                               impl: str = "auto") -> jax.Array:
+    """Batched-RHS apply: F of shape (B, L, n) -> (B, L, n).
+
+    On TPU the whole batch rides ONE stream of the G stack (the Pallas
+    sweep kernel widens its per-panel contraction to 2B rows — SURVEY.md
+    section 2.3 'batched RHS parallelism', BASELINE config 5), so B solves
+    cost about one solve of HBM traffic.  Elsewhere it falls back to vmap
+    over the single-RHS apply.
+    """
+    b = P.b
+    L, n = P.grid_shape
+    n_pad = P.G.re.shape[-1]
+    if impl == "auto":
+        impl = ("pallas" if (jax.default_backend() == "tpu"
+                             and n_pad % 128 == 0) else "xla")
+    if impl != "pallas":
+        return jax.vmap(lambda f: apply_preconditioner(P, f, impl))(F)
+
+    from ..ops.pallas.sweep import pallas_sweep
+    interp = jax.default_backend() == "cpu"
+    TF = P.TF.cplx
+    hf_cs, hf_cn = P.hf_cs.cplx, P.hf_cn.cplx
+    a_cs, a_cn = P.a_cs.cplx, P.a_cn.cplx
+    thomas = jax.vmap(lambda r: _block_thomas_solve(TF, hf_cs, hf_cn, r))
+    rows = lambda z, sl: CArray(z.re[sl], z.im[sl])
+    to_sbn = lambda x: CArray.of(jnp.swapaxes(x, 0, 1))   # (B,S,n)->(S,B,n)
+
+    u = F
+    TFuF = thomas(u[:, :b])                               # (B, b, n)
+    u = u.at[:, b].add(-a_cs[b] * TFuF[:, b - 1])
+
+    M_total = P.G.re.shape[0]
+    cn_top_zeroed = jnp.concatenate(
+        [a_cn[b:-1], jnp.zeros_like(a_cn[-1:])], axis=0)
+
+    if M_total > 1:
+        u_fwd = pallas_sweep(
+            P.G, to_sbn(u[:, b + 1:]), rows(P.a_cs, slice(b + 1, None)),
+            CArray.of(u[:, b]), mode="fwd", interpret=interp)
+        u = jnp.concatenate(
+            [u[:, :b + 1], jnp.swapaxes(u_fwd.cplx, 0, 1)], axis=1)
+    u_bwd = pallas_sweep(
+        P.G, to_sbn(u[:, b:]), CArray.of(cn_top_zeroed),
+        CArray.of(jnp.zeros_like(u[:, -1])),
+        mode=("bwd" if P.d2_replace else "bwd_sub"), interpret=interp)
+    u = jnp.concatenate([u[:, :b], jnp.swapaxes(u_bwd.cplx, 0, 1)], axis=1)
+
+    rhs = jnp.zeros_like(TFuF).at[:, b - 1].set(a_cn[b - 1] * u[:, b])
+    uF = TFuF - thomas(rhs)
+    return jnp.concatenate([uF, u[:, b:]], axis=1)
+
+
+def batchable_operator(P: SweepingPreconditioner):
+    """Wrap P as a flat-vector callable whose `jax.vmap` rule dispatches to
+    `apply_preconditioner_multi` — so `vmap`-built batched solvers
+    (solve.batched.solve_multi_rhs) share one G stream across the batch
+    instead of re-streaming the stack per RHS."""
+    L, n = P.grid_shape
+
+    @jax.custom_batching.custom_vmap
+    def M_apply(x):
+        return P(x)
+
+    @M_apply.def_vmap
+    def _rule(axis_size, in_batched, xs):
+        out = apply_preconditioner_multi(P, xs.reshape(axis_size, L, n))
+        return out.reshape(axis_size, L * n), True
+
+    return M_apply
+
+
 def apply_fixed_rhs(P: SweepingPreconditioner, f_fixed: jax.Array):
     """Reproduce deviation D1 (code.py:510-511): a 'preconditioner' that
     ignores its argument and always sweeps the fixed RHS.  Returned for

@@ -30,7 +30,16 @@ def solve_multi_rhs(matvec: Callable, B: jax.Array, *,
                     method: str = "gmres", **kw) -> KrylovResult:
     """Solve A X = B for B of shape (batch, N).  Per-RHS convergence: each
     batch element runs its own iteration count (batched while_loop runs
-    until the slowest member finishes; finished members idle)."""
+    until the slowest member finishes; finished members idle).
+
+    A SweepingPreconditioner passed as `M` is wrapped so the whole batch
+    rides one stream of its G stack per application (custom vmap rule ->
+    the batched Pallas sweep) instead of vmap re-reading the multi-GB
+    factor stack per RHS."""
+    from ..precond.sweeping import SweepingPreconditioner, batchable_operator
+
+    if isinstance(M, SweepingPreconditioner):
+        M = batchable_operator(M)
     solver = _METHODS[method]
     return jax.vmap(lambda f: solver(matvec, f, M=M, **kw))(B)
 

@@ -104,3 +104,33 @@ def test_multi_frequency_sweep():
                  rtol=1e-3, maxiter=100)
     np.testing.assert_allclose(np.asarray(res.x[1]), np.asarray(res1.x),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_apply_preconditioner_multi_matches_single():
+    """Batched-RHS apply (XLA fallback on CPU, incl. the padded layout +
+    batched Pallas path in interpret mode) == stacked single applies."""
+    import jax.numpy as jnp
+    from helmholtz_tpu import HelmholtzConfig, assemble_problem
+    from helmholtz_tpu.fd import stencil
+    from helmholtz_tpu.precond.sweeping import (apply_preconditioner,
+                                                apply_preconditioner_multi,
+                                                setup_preconditioner)
+
+    cfg = HelmholtzConfig(n=25, b=5, wave_num=2.0, const=25.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    P = setup_preconditioner(prob.A, hm, cfg.b, pad_lanes=True)
+
+    rng = np.random.default_rng(2)
+    F = jnp.asarray(rng.standard_normal((3, cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((3, cfg.n, cfg.n)))
+    singles = jnp.stack([apply_preconditioner(P, F[i], impl="xla")
+                         for i in range(3)])
+    multi_xla = apply_preconditioner_multi(P, F, impl="xla")
+    multi_pl = apply_preconditioner_multi(P, F, impl="pallas")
+    np.testing.assert_allclose(np.asarray(multi_xla), np.asarray(singles),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(multi_pl), np.asarray(singles),
+                               rtol=1e-10, atol=1e-10)
