@@ -145,11 +145,14 @@ def measure_sweep(n: int = 1023, b: int = 12) -> dict:
         n=n, b=b, problem="c1_f1", cdtype=cdtype, fidelity="as-shipped")
     P = _factor_stage(A_pair, hm_pair, b=b, hf_full_coupling=True,
                       d2_replace=True, setup_chunk=128)
-    f0 = complexify(f_pair)
+    # loop state stays split-real: complex leaves cannot be device_get
+    # through this backend (core.complexlib)
+    f0 = CArray(f_pair.re.reshape(n, n), f_pair.im.reshape(n, n))
 
-    def step(u, Pa):
-        v = apply_preconditioner(Pa, u)
-        return v * (1.0 / (1.0 + 1e-6))
+    def step(up, Pa):
+        v = apply_preconditioner(Pa, jax.lax.complex(up.re, up.im))
+        s = 1.0 / (1.0 + 1e-6)
+        return CArray(jnp.real(v) * s, jnp.imag(v) * s)
 
     dt = _timed_loop(step, f0, iters=5, args=(P,))
     M, n_pad = P.G.re.shape[0], P.G.re.shape[-1]
