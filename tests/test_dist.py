@@ -123,3 +123,46 @@ def test_bad_partition_raises():
     with pytest.raises(ValueError, match="must be <"):
         distributed_solve(mesh, prob2.A, dist_state_from_preconditioner(P2),
                           prob2.f_grid)
+
+
+def test_staged_sweep_padded_g_matches_single_device():
+    """The distributed sweep must also accept the lane-padded G layout the
+    TPU setup produces (pad_lanes=True -> (.., 128, 128) blocks at n=32)."""
+    cfg = HelmholtzConfig(n=32, b=3, wave_num=2.0, const=20.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    P_plain = setup_preconditioner(prob.A, hm, cfg.b, pad_lanes=False)
+    P_pad = setup_preconditioner(prob.A, hm, cfg.b, pad_lanes=True)
+    assert P_pad.G.re.shape[-1] == 128
+
+    state = dist_state_from_preconditioner(P_pad)
+    mesh = make_mesh(NDEV)
+    rng = np.random.default_rng(4)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+
+    from helmholtz_tpu.dist.sweep import dist_apply_preconditioner
+    from helmholtz_tpu.dist.partition import DistSweepState
+
+    row, repl = P("layers"), P()
+    in_specs = (
+        DistSweepState(
+            G_pad=jax.tree.map(lambda _: row, state.G_pad),
+            TF=jax.tree.map(lambda _: repl, state.TF),
+            hf_cs=jax.tree.map(lambda _: repl, state.hf_cs),
+            hf_cn=jax.tree.map(lambda _: repl, state.hf_cn),
+            a_cs=jax.tree.map(lambda _: row, state.a_cs),
+            a_cn=jax.tree.map(lambda _: row, state.a_cn),
+            b=state.b, d2_replace=state.d2_replace),
+        row)
+
+    fn = jax.jit(jax.shard_map(
+        lambda S, fl: dist_apply_preconditioner(
+            S, fl, axis_name="layers", n_devices=NDEV,
+            n_rows_global=cfg.n),
+        mesh=mesh, in_specs=in_specs, out_specs=row))
+    u_dist = np.asarray(fn(state, f))
+    u_ref = np.asarray(apply_preconditioner(P_plain, f, impl="xla"))
+    np.testing.assert_allclose(u_dist, u_ref, rtol=1e-9, atol=1e-9)
