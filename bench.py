@@ -1,23 +1,44 @@
-"""Round benchmark: preconditioned GMRES solve wall-clock at the reference's
-largest config (n=1023, c1-f1, C=100, tol 1e-3) on one TPU chip.
+"""Round benchmark: the BASELINE.json north-star metric on one TPU chip.
 
-Baseline: the reference's published n=1023 GMRES solve time of 25.6 s
-(C=100, CS714_Project.pdf p.2; BASELINE.md) on its CPU — the same config
-that peaked at ~15 GB and OOM-killed its 16 GB machine.  `vs_baseline` is
-the speedup factor (baseline seconds / our seconds; > 1 is faster).
+Measures, at the reference's largest config (n=1023, c1-f1, C=100):
+  * preconditioned GMRES solve wall-clock + iterations at rtol 1e-3
+    (headline `value`; baseline = the reference's published 25.6 s solve,
+    CS714_Project.pdf p.2 / BASELINE.md — the run that OOM'd a 16 GB box);
+  * iterations + wall-clock at rtol 1e-6 via the mixed-precision
+    ir-df32 path (plain f32 stalls at ~5e-6 true residual);
+  * iteration parity vs the complex128 corrected-algorithm oracle
+    (ORACLE.json, produced by helmholtz_tpu.bench.ref_oracle) — the
+    north-star "match code.py GMRES iteration counts to tolerance";
+  * complex SpMV nnz/s and HBM-roofline fraction (Pallas stencil kernel).
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 """
 import json
+import os
 import sys
 
 
-def _run(n, wn, C):
+def _oracle_iters():
+    """{(n, rtol): iters} from the checked-in complex128 oracle artifact."""
+    out = {}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ORACLE.json")
+    try:
+        with open(path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                out[(rec["n"], rec["rtol"])] = rec["iters"]
+    except OSError:
+        pass
+    return out
+
+
+def _solve(n, wn, C, **kw):
     from helmholtz_tpu.driver import run_solver
 
     # first call compiles + populates caches; second call is the measurement
-    run_solver(n, 12, wn, C, maxiter=60)
-    return run_solver(n, 12, wn, C, maxiter=60)
+    run_solver(n, 12, wn, C, **kw)
+    return run_solver(n, 12, wn, C, **kw)
 
 
 def main():
@@ -25,25 +46,57 @@ def main():
 
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
+    oracle = _oracle_iters()
     configs = [
         (1023, 128.0, 100.0, 25.6),   # published reference solve time
         (511, 64.0, 81.0, 13.7),      # fallback: session-measured reference
     ]
     for n, wn, C, ref_s in configs:
         try:
-            r = _run(n, wn, C)
+            r3 = _solve(n, wn, C, rtol=1e-3, maxiter=60)
+            r6 = _solve(n, wn, C, rtol=1e-6, maxiter=60,
+                        precision="ir-df32", precond_refine=1)
         except Exception as e:  # OOM / backend failure -> try smaller
             print(f"n={n} failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
-        print(f"n={n}: iters={r.iterations} converged={r.converged} "
-              f"true_res={r.true_residual:.2e} init={r.init_time:.2f}s "
-              f"solve={r.solve_time:.2f}s", file=sys.stderr)
-        vs = (ref_s / r.solve_time) if r.converged and r.solve_time > 0 else 0.0
+        for tag, r in (("1e-3", r3), ("1e-6", r6)):
+            print(f"n={n} rtol={tag}: iters={r.iterations} "
+                  f"converged={r.converged} true_res={r.true_residual:.2e} "
+                  f"precond_res={r.residual_norm:.2e} "
+                  f"init={r.init_time:.2f}s solve={r.solve_time:.2f}s",
+                  file=sys.stderr)
+        try:
+            from helmholtz_tpu.bench.roofline import measure_spmv
+            spmv = measure_spmv(n=n, use_pallas=True)
+        except Exception as e:
+            print(f"spmv roofline failed: {e}", file=sys.stderr)
+            spmv = {}
+        vs = (ref_s / r3.solve_time) if r3.converged and r3.solve_time > 0 \
+            else 0.0
+        o3, o6 = oracle.get((n, 1e-3)), oracle.get((n, 1e-6))
         print(json.dumps({
             "metric": f"gmres_solve_wall_s_n{n}_c1f1_tol1e-3",
-            "value": round(r.solve_time, 4),
+            "value": round(r3.solve_time, 4),
             "unit": "s",
             "vs_baseline": round(vs, 2),
+            "iters_rtol1e3": int(r3.iterations),
+            "oracle_iters_rtol1e3": o3,
+            "parity_rtol1e3": (None if o3 is None
+                               else bool(r3.iterations <= o3 + 1)),
+            "converged_rtol1e3": bool(r3.converged),
+            "true_residual_rtol1e3": float(r3.true_residual),
+            "solve_wall_s_rtol1e6": round(r6.solve_time, 4),
+            "iters_rtol1e6": int(r6.iterations),
+            "oracle_iters_rtol1e6": o6,
+            "parity_rtol1e6": (None if o6 is None
+                               else bool(r6.iterations <= o6 + 1)),
+            "converged_rtol1e6": bool(r6.converged),
+            "precond_residual_rtol1e6": float(r6.residual_norm),
+            "precision_rtol1e6": "ir-df32+refine1",
+            "spmv_gnnz_per_s": round(spmv.get("gnnz_per_s", 0.0), 2),
+            "spmv_roofline_fraction": round(
+                spmv.get("roofline_fraction", 0.0), 3),
+            "init_wall_s": round(r3.init_time, 2),
         }))
         return
     print(json.dumps({"metric": "gmres_solve_wall_s", "value": -1.0,

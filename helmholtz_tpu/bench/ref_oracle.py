@@ -1,0 +1,165 @@
+"""complex128 CPU oracle for GMRES iteration-count parity at scale.
+
+The framework's north-star metric (BASELINE.json) is "match code.py GMRES
+iteration counts to tolerance on a 1024^2 PML Helmholtz problem".  The
+tests' dense oracle (tests/reference_oracle.py) tops out around n=63; this
+module runs the *corrected* sweeping algorithm (SURVEY.md Appendix A — the
+paper's published behavior) in scipy complex128 at any n, using SuperLU for
+the subgrid solves exactly like the reference's algo2_3/algo2_4
+(code.py:345-385), so its iteration counts are the parity target for the
+TPU solve.
+
+Operators come from the framework's own assembly on the jax CPU backend
+(elementwise-verified against the scalar oracle in tests/test_assembly.py);
+only the factorization/sweep/GMRES layers are scipy here — deliberately a
+different lineage from the TPU path (batched Schur corner inverses) so the
+two implementations cross-check each other.
+
+Run:  python -m helmholtz_tpu.bench.ref_oracle --n 1023 --rtols 1e-3 1e-6
+Emits one JSON line per (n, rtol); results for the bench configs are
+checked in at ORACLE.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _setup_scipy(n, b, wave_num, const, alpha, problem="c1_f1",
+                 fidelity="as-shipped"):
+    """Assemble A, f, H_F, and the H_m family; factor with SuperLU."""
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from ..fd import problems as fd_problems
+    from ..fd import stencil as fd_stencil
+
+    omega = 2.0 * np.pi * wave_num + 1j * alpha
+    h = 1.0 / (n + 1)
+    eta = b * h
+    c_full, f_grid = fd_problems.PROBLEMS[problem](
+        jnp.complex128(omega), n, complex_dtype=jnp.complex128)
+    A = fd_stencil.build_a_stencil(n, b, const, eta, omega, h, c_full,
+                                   fidelity=fidelity,
+                                   complex_dtype=jnp.complex128)
+    hm = fd_stencil.build_hm_stencils(n, b, const, eta, omega, h, c_full,
+                                      fidelity=fidelity,
+                                      complex_dtype=jnp.complex128)
+    HF = fd_stencil.extract_hf_stencil(A, b, full_coupling=True)
+
+    def strip_to_csc(cc, cw, ce, cs, cn):
+        """(L, n) stencil fields -> scipy CSC with offsets 0, +-1, +-n."""
+        L, nn = cc.shape
+        cc, cw, ce, cs, cn = (np.asarray(f).reshape(-1)
+                              for f in (cc, cw, ce, cs, cn))
+        return sp.diags([cc, cw[1:], ce[:-1], cs[nn:], cn[:-nn]],
+                        [0, -1, 1, -nn, nn], format="csc")
+
+    lu_HF = spla.splu(strip_to_csc(HF.cc, HF.cw, HF.ce, HF.cs, HF.cn))
+    hm_np = {k: np.asarray(getattr(hm, k)) for k in
+             ("cc", "cw", "ce", "cs", "cn")}
+    lus = [spla.splu(strip_to_csc(*(hm_np[k][mi] for k in
+                                    ("cc", "cw", "ce", "cs", "cn"))))
+           for mi in range(n - b)]
+    a_cs = np.asarray(A.cs)
+    a_cn = np.asarray(A.cn)
+    f_vec = np.asarray(f_grid).reshape(-1)
+    A_sp = strip_to_csc(A.cc, A.cw, A.ce, A.cs, A.cn).tocsr()
+    return A_sp, f_vec, lu_HF, lus, a_cs, a_cn
+
+
+def make_apply(n, b, lu_HF, lus, a_cs, a_cn):
+    """The corrected Algorithm 2.4 sweep (D2 replace, D3 full H_F) as a
+    flat-vector callable — complex128, SuperLU subgrid solves."""
+    import numpy as np
+
+    L = n
+
+    def corner_solve(k, v):
+        """(H_{b+1+k}^{-1} [0; ...; 0; v])[last n] — one subgrid solve."""
+        rhs = np.zeros(b * n, np.complex128)
+        rhs[-n:] = v
+        return lus[k].solve(rhs)[-n:]
+
+    def apply_m(f_vec):
+        u = f_vec.reshape(L, n).astype(np.complex128).copy()
+        TFuF = lu_HF.solve(u[:b].reshape(-1)).reshape(b, n)
+        u[b] -= a_cs[b] * TFuF[b - 1]
+        for j in range(b + 1, L):                      # forward sweep
+            u[j] -= a_cs[j] * corner_solve(j - 1 - b, u[j - 1])
+        for j in range(L - 1, b - 1, -1):              # diag+backward fused
+            rhs = u[j] - (a_cn[j] * u[j + 1] if j < L - 1 else 0.0)
+            u[j] = corner_solve(j - b, rhs)
+        rhs_f = np.zeros((b, n), np.complex128)
+        rhs_f[b - 1] = a_cn[b - 1] * u[b]
+        u[:b] = TFuF - lu_HF.solve(rhs_f.reshape(-1)).reshape(b, n)
+        return u.reshape(-1)
+
+    return apply_m
+
+
+def run_oracle(n, b=12, wave_num=None, const=None, alpha=2.0,
+               rtols=(1e-3, 1e-6), restart=20, maxiter=200):
+    import numpy as np
+    import scipy.sparse.linalg as spla
+
+    # reference-tuned defaults for the c1_f1 sweep (code.py:574-589)
+    wave_num = wave_num if wave_num is not None else (n + 1) / 8.0
+    default_C = {127: 81.0, 255: 62.0, 511: 81.0, 1023: 100.0}
+    const = const if const is not None else default_C.get(n, 81.0)
+
+    t0 = time.time()
+    A_sp, f_vec, lu_HF, lus, a_cs, a_cn = _setup_scipy(
+        n, b, wave_num, const, alpha)
+    setup_s = time.time() - t0
+    apply_m = make_apply(n, b, lu_HF, lus, a_cs, a_cn)
+    M = spla.LinearOperator(A_sp.shape, matvec=apply_m, dtype=np.complex128)
+
+    out = []
+    for rtol in rtols:
+        iters = 0
+
+        def cb(_pr_norm):
+            nonlocal iters
+            iters += 1
+
+        t0 = time.time()
+        x, info = spla.gmres(A_sp, f_vec, M=M, rtol=rtol, atol=0.0,
+                             restart=restart, maxiter=maxiter // restart,
+                             callback=cb, callback_type="pr_norm")
+        solve_s = time.time() - t0
+        true_res = float(np.linalg.norm(A_sp @ x - f_vec)
+                         / np.linalg.norm(f_vec))
+        rec = {"metric": f"oracle_iters_n{n}_rtol{rtol:g}", "n": n, "b": b,
+               "wave_num": wave_num, "const": const, "rtol": rtol,
+               "iters": iters, "info": int(info), "true_residual": true_res,
+               "setup_s": round(setup_s, 1), "solve_s": round(solve_s, 1),
+               "dtype": "complex128", "impl": "scipy-superlu-corrected"}
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1023)
+    ap.add_argument("--b", type=int, default=12)
+    ap.add_argument("--wave-num", type=float, default=None)
+    ap.add_argument("--const", type=float, default=None)
+    ap.add_argument("--rtols", type=float, nargs="+", default=[1e-3, 1e-6])
+    args = ap.parse_args(argv)
+    run_oracle(args.n, args.b, args.wave_num, args.const, rtols=args.rtols)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

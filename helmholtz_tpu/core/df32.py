@@ -1,0 +1,160 @@
+"""Double-float32 (compensated) arithmetic for the TPU precision story.
+
+TPU has no native float64 (SURVEY.md section 7.3 item 3: "need a precision
+story"); everything in flight is f32.  Two places in the solve pipeline are
+precision-critical beyond f32 (measured: plain complex64 GMRES at n=1023
+stalls at a true relative residual of ~5e-6, so the north-star rtol 1e-6 is
+unreachable):
+
+  * the solution accumulator x — rounding each correction into a single f32
+    buffer floors the attainable accuracy at eps_f32 * ||x||;
+  * the residual r = b - A x — catastrophic cancellation: the terms of A x
+    are ~1/h^2 * |x| (1e6 at n=1023) while r shrinks toward 1e-6 * ||b||.
+
+Both are fixed with classic error-free transformations (Knuth two_sum,
+Dekker two_prod — no FMA required, exact in IEEE f32, which XLA preserves:
+it does not reassociate floating point):
+
+  * `DF32` — an unevaluated hi + lo pair ("double-float32", ~49-bit
+    effective mantissa) used as the solution carry in `solve.ir.ir_gmres`;
+  * `stencil_residual_comp` — r = b - A (x.hi + x.lo) with every product
+    error-tracked and the 5-point sum compensated, so the result is
+    accurate to ~eps * |r| + eps^2 * |A||x| instead of eps * |A||x|.
+
+Costs ~20x the flops of the plain stencil apply but it is an O(N) VPU pass
+invoked once per outer refinement cycle — noise next to one O(N * n) sweep.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .sparse import Stencil5
+
+def _split_const(dtype):
+    # Dekker split constant 2^ceil(p/2) + 1 for a p-bit mantissa
+    return 134217729.0 if jnp.finfo(dtype).bits == 64 else 4097.0
+
+
+def two_sum(a, b):
+    """Error-free sum: s + e == a + b exactly, s = fl(a + b)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Error-free sum assuming |a| >= |b|."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(x):
+    t = jnp.asarray(_split_const(x.dtype), x.dtype) * x
+    hi = t - (t - x)
+    return hi, x - hi
+
+
+def two_prod(a, b):
+    """Error-free product: p + e == a * b exactly (Dekker, FMA-free)."""
+    p = a * b
+    ahi, alo = _split(a)
+    bhi, blo = _split(b)
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["hi", "lo"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class DF32:
+    """Unevaluated hi + lo pair; hi, lo may be real or complex arrays.
+
+    Complex leaves decompose into independent re/im double-floats (complex
+    add needs no cross terms), so `two_sum` applies plane-wise and works
+    unchanged on complex dtypes.
+    """
+
+    hi: jax.Array
+    lo: jax.Array
+
+    @classmethod
+    def zeros_like(cls, x) -> "DF32":
+        return cls(jnp.zeros_like(x), jnp.zeros_like(x))
+
+    @property
+    def value(self) -> jax.Array:
+        """Best single-precision representation."""
+        return self.hi + self.lo
+
+    def add(self, d) -> "DF32":
+        """self + d for a single-width d, renormalized."""
+        s, e = two_sum(self.hi, d)
+        hi, lo = fast_two_sum(s, e + self.lo)
+        return DF32(hi, lo)
+
+
+def _shift_w(u):
+    z = jnp.zeros_like(u[..., :, :1])
+    return jnp.concatenate([z, u[..., :, :-1]], axis=-1)
+
+
+def _shift_e(u):
+    z = jnp.zeros_like(u[..., :, :1])
+    return jnp.concatenate([u[..., :, 1:], z], axis=-1)
+
+
+def _shift_s(u):
+    z = jnp.zeros_like(u[..., :1, :])
+    return jnp.concatenate([z, u[..., :-1, :]], axis=-2)
+
+
+def _shift_n(u):
+    z = jnp.zeros_like(u[..., :1, :])
+    return jnp.concatenate([u[..., 1:, :], z], axis=-2)
+
+
+_SHIFTS = (lambda u: u, _shift_w, _shift_e, _shift_s, _shift_n)
+
+
+def stencil_residual_comp(A: Stencil5, b: jax.Array, x: DF32) -> jax.Array:
+    """r = b - A @ (x.hi + x.lo), compensated, on the (L, n) grid.
+
+    A: complex Stencil5 (in-flight complex over split-real storage); b
+    complex (L, n); x a DF32 of complex (L, n).  Returns complex (L, n)
+    accurate to ~eps * |r| — the residual the f32 inner solver can trust.
+
+    Each of the 5 stencil terms contributes 4 real two_prods per plane
+    (complex multiply); their rounding errors and x.lo contributions
+    accumulate in a plain f32 error channel (they are already ~eps relative
+    to the terms, so first-order accuracy of the channel suffices).
+    """
+    fields = (A.cc, A.cw, A.ce, A.cs, A.cn)
+    sr, si = jnp.real(b), jnp.imag(b)
+    er, ei = jnp.zeros_like(sr), jnp.zeros_like(sr)
+    for a, shift in zip(fields, _SHIFTS):
+        ar, ai = jnp.real(a), jnp.imag(a)
+        uhr, uhi = shift(jnp.real(x.hi)), shift(jnp.imag(x.hi))
+        ulr, uli = shift(jnp.real(x.lo)), shift(jnp.imag(x.lo))
+        # real plane: -(ar*uhr - ai*uhi), error-free products
+        for coef, vec in ((-ar, uhr), (ai, uhi)):
+            p, pe = two_prod(coef, vec)
+            sr, e2 = two_sum(sr, p)
+            er = er + e2 + pe
+        # imag plane: -(ar*uhi + ai*uhr)
+        for coef, vec in ((-ar, uhi), (-ai, uhr)):
+            p, pe = two_prod(coef, vec)
+            si, e2 = two_sum(si, p)
+            ei = ei + e2 + pe
+        # low-part contributions (first order is enough)
+        er = er - (ar * ulr - ai * uli)
+        ei = ei - (ar * uli + ai * ulr)
+    return jax.lax.complex(sr + er, si + ei)

@@ -1,4 +1,4 @@
-"""Distributed stencil SpMV with halo exchange.
+"""Distributed stencil SpMV with halo exchange overlapped with compute.
 
 The +-n diagonals of A couple adjacent layer blocks, so each device needs
 one boundary row from each neighbor per product (SURVEY.md section 2.3
@@ -6,6 +6,16 @@ one boundary row from each neighbor per product (SURVEY.md section 2.3
 (collective_permute over ICI on hardware); devices at the domain boundary
 receive zeros, which realizes the Dirichlet condition because the masked
 boundary coefficients are zero as well.
+
+Overlap (BASELINE config 4: "halo exchange overlapped with SpMV"): the
+matvec is split into an interior part — the full 5-point apply on locally
+available rows, with NO data dependency on the permutes — and a boundary
+fixup touching only the first and last local rows.  XLA lowers each
+`ppermute` to an async `collective-permute-start`/`-done` pair; because the
+interior compute consumes neither result, the latency-hiding scheduler
+hoists both starts before the interior fusion and sinks the dones after it,
+so the ICI transfer rides under the O(n_loc * n) interior work (verified by
+HLO inspection in tests/test_dist.py::test_halo_overlap_hlo_schedule).
 """
 from __future__ import annotations
 
@@ -26,16 +36,24 @@ def halo_stencil_matvec(A_local: Stencil5, u_local: jax.Array,
     up_perm = [(i, i + 1) for i in range(n_devices - 1)]    # d -> d+1
     down_perm = [(i, i - 1) for i in range(1, n_devices)]   # d -> d-1
 
+    # Start both exchanges first: nothing below depends on them until the
+    # final two-row fixup, so the collective-permute rides under the
+    # interior compute.
     # halo_below[0] = last row of the previous device (for the cs coupling)
     halo_below = jax.lax.ppermute(u_local[-1:], axis_name, up_perm)
     # halo_above[0] = first row of the next device (for the cn coupling)
     halo_above = jax.lax.ppermute(u_local[:1], axis_name, down_perm)
 
-    us = jnp.concatenate([halo_below, u_local[:-1]], axis=0)   # u[j-1, i]
-    un = jnp.concatenate([u_local[1:], halo_above], axis=0)    # u[j+1, i]
+    # Interior: the full 5-point apply using only local rows (the cs term of
+    # row 0 and the cn term of row n_loc-1 are deferred to the fixup).
     z = jnp.zeros_like(u_local[:, :1])
     uw = jnp.concatenate([z, u_local[:, :-1]], axis=1)
     ue = jnp.concatenate([u_local[:, 1:], z], axis=1)
+    y = A_local.cc * u_local + A_local.cw * uw + A_local.ce * ue
+    y = y.at[1:].add(A_local.cs[1:] * u_local[:-1])
+    y = y.at[:-1].add(A_local.cn[:-1] * u_local[1:])
 
-    return (A_local.cc * u_local + A_local.cw * uw + A_local.ce * ue
-            + A_local.cs * us + A_local.cn * un)
+    # Boundary fixup: the only consumers of the halo rows.
+    y = y.at[0].add(A_local.cs[0] * halo_below[0])
+    y = y.at[-1].add(A_local.cn[-1] * halo_above[0])
+    return y

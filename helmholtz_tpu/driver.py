@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core.complexlib import complexify, pairify
+from .core.df32 import stencil_residual_comp
 from .fd import problems as fd_problems
 from .fd import stencil as fd_stencil
 from .ops.spmv import stencil_matvec_flat
@@ -91,13 +92,12 @@ def _factor_exact_stage(A_pair, *, b):
 
 
 @partial(jax.jit, static_argnames=("restart", "maxiter", "use_precond",
-                                   "method"))
+                                   "method", "precond_refine", "precision",
+                                   "inner_rtol"))
 def _solve_stage(A_pair, P_pair, f_pair, rtol, *, restart, maxiter,
-                 use_precond, method="gmres"):
+                 use_precond, method="gmres", precond_refine=0,
+                 precision="f32", inner_rtol=1e-2):
     A, f = complexify((A_pair, f_pair))
-    # P already stores split-real CArrays internally — pass through as-is
-    # (complexifying it would materialize the ~GB-scale complex G).
-    M = P_pair if use_precond else None
     if jax.default_backend() == "tpu":
         # fused Pallas stencil kernel (~0.1 ms at n=1023); the XLA
         # shift-and-add path costs ~6 ms per product there (measured)
@@ -110,10 +110,45 @@ def _solve_stage(A_pair, P_pair, f_pair, rtol, *, restart, maxiter,
             return pallas_stencil_matvec(A_pair, u).cplx.reshape(-1)
     else:
         mv = lambda v: stencil_matvec_flat(A, v)
-    if method == "gmres":
+    # P already stores split-real CArrays internally — pass through as-is
+    # (complexifying it would materialize the ~GB-scale complex G).
+    M = P_pair if use_precond else None
+    if use_precond and precond_refine:
+        # Iterative refinement of the preconditioner solve (the TPU
+        # precision option): M_k+1 = M_k + M (I - A M_k) squares the
+        # preconditioner's deviation from A^{-1} per step, compensating the
+        # f32 G-stack error that costs ~2 extra GMRES iterations at n=1023
+        # (measured vs the complex128 oracle; VERDICT round 1 item 1).
+        M0 = P_pair
+
+        def M(v):
+            u = M0(v)
+            for _ in range(precond_refine):
+                u = u + M0(v - mv(u))
+            return u
+
+    if method == "gmres" and precision == "ir-df32":
+        # double-f32 solution carry + compensated residual: the path that
+        # actually reaches rtol 1e-6 in f32 (plain f32 floors at ~5e-6).
+        from .core.df32 import DF32
+        from .solve.ir import ir_gmres
+        L, n = A_pair.grid_shape
+
+        def residual_comp(x):
+            r = stencil_residual_comp(
+                A, f.reshape(L, n),
+                DF32(x.hi.reshape(L, n), x.lo.reshape(L, n)))
+            return r.reshape(-1)
+
+        res = ir_gmres(mv, residual_comp, f.reshape(-1), M=M, rtol=rtol,
+                       restart=restart, maxiter=maxiter,
+                       inner_rtol=inner_rtol)
+    elif method == "gmres":
         res = gmres(mv, f.reshape(-1), M=M, restart=restart, rtol=rtol,
                     maxiter=maxiter)
     elif method == "bicgstab":
+        if precision == "ir-df32":
+            raise ValueError("ir-df32 precision requires method='gmres'")
         res = bicgstab(mv, f.reshape(-1), M=M, rtol=rtol, maxiter=maxiter)
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -152,6 +187,9 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
                maxiter: Optional[int] = None,
                method: str = "gmres",
                precond: str = "moving_pml",
+               precond_refine: int = 0,
+               precision: str = "f32",
+               inner_rtol: float = 1e-2,
                fidelity: str = "as-shipped",
                hf_full_coupling: bool = True,
                d2_replace: bool = True,
@@ -188,7 +226,9 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
     res_pair = _solve_stage(A_pair, P_pair, f_pair,
                             jnp.asarray(rtol, jnp.result_type(float)),
                             restart=restart, maxiter=maxiter,
-                            use_precond=use_precond, method=method)
+                            use_precond=use_precond, method=method,
+                            precond_refine=precond_refine,
+                            precision=precision, inner_rtol=inner_rtol)
     _host_sync(res_pair)
     t2 = time.perf_counter()
 
@@ -216,6 +256,7 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
         config=dict(n=n, b=b, wave_num=wave_num, const=const, alpha=alpha,
                     problem=problem, rtol=rtol, restart=restart,
                     method=method, precond=precond, fidelity=fidelity,
+                    precond_refine=precond_refine, precision=precision,
                     dtype=str(np.dtype(cdtype))),
     )
     if plot_solution:
