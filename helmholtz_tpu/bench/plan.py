@@ -1,0 +1,78 @@
+"""Capacity planner: memory budget and device count for a target grid.
+
+The reference hit its memory wall blind (15 GB and an OS OOM-kill at
+n=1023 on a 16 GB desktop, PDF p.2, code.py:590).  This module makes the
+budget explicit before any device allocation: the dominant at-rest object
+is the corner-inverse stack G — 2 * (n-b) * n_pad^2 * 4 bytes as split-real
+f32 (precond.sweeping) — so a single 16 GB chip caps out near n ~ 1100, and
+BASELINE config 5's 2048^2 grid NEEDS the row-sharded distributed path
+(~4.3 GB of G per chip on 16 chips; dist.partition shards G with the rows).
+
+    python -m helmholtz_tpu plan --n 2047 --batch 4
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def plan(n: int, b: int = 12, batch: int = 1, restart: int = 20,
+         hbm_gb: float = 16.0, pad_lanes: bool = True,
+         setup_chunk: int = 128) -> dict:
+    n_pad = -(-n // 128) * 128 if pad_lanes else n
+    M = n - b
+    f32 = 4
+    c64 = 8                                   # split-real complex64 pair
+    N = n * n
+
+    g_bytes = 2 * M * n_pad * n_pad * f32     # the factor stack (re+im)
+    tf_bytes = 2 * b * n * n * f32
+    stencil_bytes = 2 * 5 * N * f32           # A fields
+    hm_bytes = 2 * 5 * M * b * n * f32        # subgrid family fields
+    chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
+    setup_ws = 3 * 2 * chunk * n * n * f32    # batched-inverse workspace
+    krylov = (restart + 2) * N * c64 * batch  # V + x/r per RHS
+    total = g_bytes + tf_bytes + stencil_bytes + hm_bytes + krylov
+    peak_setup = (g_bytes + tf_bytes + stencil_bytes + hm_bytes + setup_ws)
+
+    hbm = hbm_gb * 1e9
+    fits = max(total, peak_setup) < 0.92 * hbm
+    # row-sharded: G/A/hm/vectors split across D devices, TF replicated
+    sharded = lambda D: (g_bytes + stencil_bytes + hm_bytes + krylov) / D \
+        + tf_bytes + setup_ws
+    min_dev = 1
+    while sharded(min_dev) >= 0.92 * hbm and min_dev < 4096:
+        min_dev *= 2
+
+    return {
+        "n": n, "b": b, "batch": batch, "n_pad": n_pad,
+        "g_stack_gb": round(g_bytes / 1e9, 2),
+        "operator_gb": round((stencil_bytes + hm_bytes) / 1e9, 2),
+        "krylov_gb": round(krylov / 1e9, 2),
+        "setup_workspace_gb": round(setup_ws / 1e9, 2),
+        "peak_gb": round(max(total, peak_setup) / 1e9, 2),
+        "hbm_gb": hbm_gb,
+        "fits_single_chip": bool(fits),
+        "min_devices_row_sharded": int(min_dev),
+        "per_device_gb_at_min": round(sharded(min_dev) / 1e9, 2),
+        "note": ("G shards with the grid rows (dist.partition); the F-band "
+                 "factors are replicated"),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, required=True)
+    ap.add_argument("--b", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--restart", type=int, default=20)
+    ap.add_argument("--hbm-gb", type=float, default=16.0)
+    args = ap.parse_args(argv)
+    print(json.dumps(plan(args.n, args.b, args.batch, args.restart,
+                          args.hbm_gb), indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,7 +28,7 @@ import time
 
 
 def _setup_scipy(n, b, wave_num, const, alpha, problem="c1_f1",
-                 fidelity="as-shipped"):
+                 fidelity="corrected"):
     """Assemble A, f, H_F, and the H_m family; factor with SuperLU."""
     import numpy as np
     import scipy.sparse as sp

@@ -25,7 +25,7 @@ def _add_problem_args(p):
                    help="imaginary frequency shift")
     p.add_argument("--problem", default="c1_f1",
                    choices=["c1_f1", "c1_f2", "c2_f1", "c2_f2"])
-    p.add_argument("--fidelity", default="as-shipped",
+    p.add_argument("--fidelity", default="corrected",
                    choices=["as-shipped", "corrected"],
                    help="velocity-sampling convention (SURVEY.md App. B3)")
 
@@ -51,6 +51,9 @@ def _add_output_args(p):
     p.add_argument("--save", metavar="NPZ", help="save solution + history")
     p.add_argument("--save-precond", metavar="NPZ",
                    help="checkpoint the factored preconditioner state")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of the solve "
+                        "(assemble/factor/solve named scopes) into DIR")
     p.add_argument("--quiet", action="store_true")
 
 
@@ -69,7 +72,14 @@ def _solve_one(args):
 def cmd_solve(args):
     from .utils.logging import log_metrics
 
-    r = _solve_one(args)
+    if getattr(args, "profile", None):
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            r = _solve_one(args)
+        print(f"wrote profiler trace to {args.profile}")
+    else:
+        r = _solve_one(args)
     if not args.quiet:
         print(f"GMRES iterations with preconditioner: {r.iterations}")
         print(f"true relative residual: {r.true_residual:.3e}")
@@ -131,6 +141,51 @@ def cmd_sweep(args):
     return 0
 
 
+def cmd_multisolve(args):
+    """BASELINE config 5: multi-frequency sweep with batched-RHS (multi-
+    source) solves per frequency, one JSON record per frequency.  With
+    --checkpoint, completed frequencies are recorded and skipped when the
+    sweep is restarted after a kill (solve.resumable.SweepCheckpoint)."""
+    from .driver import run_multisolve
+    from .solve.resumable import SweepCheckpoint
+
+    ckpt = SweepCheckpoint(args.checkpoint or "")
+    done = ckpt.done_keys()
+    consts = args.consts or [100.0] * len(args.freqs)
+    ok = True
+    for rec in ckpt.records:
+        print(json.dumps(rec))
+        ok &= all(rec["converged"])
+    for wn, C in zip(args.freqs, consts):
+        if (args.n, float(wn)) in done:
+            continue
+        [rec] = run_multisolve(
+            args.n, args.b, [wn], consts=[C], alpha=args.alpha,
+            problem=args.problem, n_sources=args.multi_rhs, rtol=args.rtol,
+            restart=args.restart, maxiter=args.maxiter or 200,
+            fidelity=args.fidelity)
+        ckpt.add(rec)
+        print(json.dumps(rec))
+        ok &= all(rec["converged"])
+        if args.metrics:
+            with open(args.metrics, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+    return 0 if ok else 1
+
+
+def cmd_bench_scaling(args):
+    """Scaling-efficiency harness (virtual mesh or real devices)."""
+    from .bench.scaling import main as scaling_main
+
+    argv = ["--strong-n", str(args.n), "--b", str(args.b),
+            "--ndevs", *map(str, args.ndevs)]
+    if args.anchor:
+        argv.append("--anchor")
+    if args.out:
+        argv += ["--out", args.out]
+    return scaling_main(argv)
+
+
 def cmd_bench_sweep(args):
     import json
     from .bench.roofline import measure_sweep
@@ -164,6 +219,45 @@ def main(argv=None):
     p.add_argument("--scale-freq", action="store_true", default=True,
                    help="scale omega/2pi = (n+1)/8 with n (reference sweep)")
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("multisolve",
+                       help="multi-frequency + batched-RHS sweep (config 5)")
+    _add_problem_args(p)
+    p.add_argument("--freqs", type=float, nargs="+",
+                   default=[16.0, 32.0], help="omega/2pi values")
+    p.add_argument("--consts", type=float, nargs="+", default=None,
+                   help="PML C per frequency (default: 100 each)")
+    p.add_argument("--multi-rhs", type=int, default=4,
+                   help="number of batched source positions per frequency")
+    p.add_argument("--rtol", type=float, default=1e-3)
+    p.add_argument("--restart", type=int, default=20)
+    p.add_argument("--maxiter", type=int, default=None)
+    p.add_argument("--metrics", metavar="JSONL")
+    p.add_argument("--checkpoint", metavar="JSONL",
+                   help="sweep progress file: completed frequencies are "
+                        "skipped on restart")
+    p.set_defaults(fn=cmd_multisolve)
+
+    p = sub.add_parser("bench-scaling",
+                       help="solve-time scaling efficiency at 1..K devices")
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--b", type=int, default=3)
+    p.add_argument("--ndevs", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--anchor", action="store_true",
+                   help="include the real-chip 1-device-mesh anchor")
+    p.add_argument("--out", metavar="JSON")
+    p.set_defaults(fn=cmd_bench_scaling)
+
+    p = sub.add_parser("plan",
+                       help="memory budget / device count for a grid size")
+    p.add_argument("--n", type=int, required=True)
+    p.add_argument("--b", type=int, default=12)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--hbm-gb", type=float, default=16.0)
+    p.set_defaults(fn=lambda a: __import__(
+        "helmholtz_tpu.bench.plan", fromlist=["main"]).main(
+            ["--n", str(a.n), "--b", str(a.b), "--batch", str(a.batch),
+             "--hbm-gb", str(a.hbm_gb)]))
 
     p = sub.add_parser("bench-spmv", help="SpMV roofline measurement")
     p.add_argument("--n", type=int, default=1023)

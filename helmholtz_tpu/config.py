@@ -33,12 +33,13 @@ class HelmholtzConfig:
     wave_num: float = 16.0
     const: float = 81.0
     alpha: float = 2.0
-    #: "as-shipped" reproduces the reference's velocity-sampling orientation
-    #: (c_mat[i-1, j-1], transposed + shifted one grid point — SURVEY.md
-    #: Appendix B item 3, code.py:108,270). "corrected" samples c at the true
-    #: stencil point (x1=i*h, x2=j*h). Both assemble valid Helmholtz operators;
-    #: "as-shipped" is bit-comparable with the reference matrix.
-    fidelity: Fidelity = "as-shipped"
+    #: "corrected" (default, SURVEY.md section 7.3 item 4) samples c at the
+    #: true stencil point (x1=i*h, x2=j*h).  "as-shipped" reproduces the
+    #: reference's velocity-sampling orientation (c_mat[i-1, j-1],
+    #: transposed + shifted one grid point — SURVEY.md Appendix B item 3,
+    #: code.py:108,270) and is bit-comparable with the reference matrix —
+    #: oracle-parity tests pin it explicitly.
+    fidelity: Fidelity = "corrected"
 
     @property
     def h(self) -> float:

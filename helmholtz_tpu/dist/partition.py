@@ -77,9 +77,11 @@ def row_sharding(mesh: Mesh, ndims: int, axis_name: str = LAYER_AXIS):
 
 
 def shard_problem(mesh: Mesh, A: Stencil5, state: DistSweepState,
-                  f_grid: jax.Array, axis_name: str = LAYER_AXIS):
+                  f_grid: jax.Array, axis_name: str = LAYER_AXIS,
+                  f_axis: int = 0):
     """Place the problem on the mesh: row-shard A/f/G/couplings, replicate
-    the H_F factors."""
+    the H_F factors.  `f_axis` is the grid-row axis of f_grid (1 for a
+    batched (B, L, n) right-hand side)."""
     shard_rows = lambda x: jax.device_put(
         x, row_sharding(mesh, x.ndim, axis_name))
     repl = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
@@ -93,4 +95,7 @@ def shard_problem(mesh: Mesh, A: Stencil5, state: DistSweepState,
         a_cs=jax.tree.map(shard_rows, state.a_cs),
         a_cn=jax.tree.map(shard_rows, state.a_cn),
         b=state.b, d2_replace=state.d2_replace)
-    return A_sh, state_sh, shard_rows(f_grid)
+    f_spec = P(*([None] * f_axis), axis_name,
+               *([None] * (f_grid.ndim - f_axis - 1)))
+    f_sh = jax.device_put(f_grid, NamedSharding(mesh, f_spec))
+    return A_sh, state_sh, f_sh

@@ -26,12 +26,21 @@ from .sweep import dist_apply_preconditioner
 def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
                       f_grid: jax.Array, *, rtol: float = 1e-3,
                       restart: int = 20, maxiter: int = 200,
-                      axis_name: str = LAYER_AXIS) -> KrylovResult:
+                      axis_name: str = LAYER_AXIS,
+                      sweep_impl: str = "auto") -> KrylovResult:
     """Row-shard the problem on `mesh` and run distributed GMRES.
 
-    Returns a KrylovResult whose `x` is the global (sharded) flat solution.
-    Constraints: L % n_devices == 0 and (with a preconditioner)
-    b < L // n_devices, so the F band lives on device 0.
+    f_grid: (L, n), or (B, L, n) for a batch of right-hand sides — the
+    batch is vmapped through the solver while every preconditioner
+    application rides ONE staged schedule and one pass of the local G
+    shards (dist_apply_preconditioner's batched path, dispatched through a
+    custom-vmap rule exactly like the single-chip
+    `precond.sweeping.batchable_operator`).
+
+    Returns a KrylovResult whose `x` is the global (sharded) flat solution
+    (batch leading when batched).  Constraints: L % n_devices == 0 and
+    (with a preconditioner) b < L // n_devices, so the F band lives on
+    device 0.
     """
     L, n = A.cc.shape
     ndev = mesh.shape[axis_name]
@@ -42,10 +51,11 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
     if use_precond and state.b >= n_loc:
         raise ValueError(
             f"PML width b={state.b} must be < rows-per-device {n_loc}")
+    batched = f_grid.ndim == 3
 
     A_sh, state_sh, f_sh = shard_problem(
         mesh, A, state if use_precond else _empty_state(A), f_grid,
-        axis_name)
+        axis_name, f_axis=1 if batched else 0)
 
     def local_solve(A_loc, S_loc, f_loc):
         def matvec(v):
@@ -54,25 +64,57 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
 
         M = None
         if use_precond:
-            def M(v):
+            def apply_one(v):
                 return dist_apply_preconditioner(
                     S_loc, v.reshape(n_loc, n), axis_name=axis_name,
-                    n_devices=ndev, n_rows_global=L).reshape(-1)
+                    n_devices=ndev, n_rows_global=L,
+                    impl=sweep_impl).reshape(-1)
 
-        return gmres(matvec, f_loc.reshape(-1), M=M, restart=restart,
-                     rtol=rtol, maxiter=maxiter, axis_name=axis_name)
+            if batched:
+                # the batched dispatch must receive the (shard_map-traced)
+                # state leaves as explicit custom_vmap arguments — closing
+                # over them leaks tracers into the vmap rule
+                s_leaves, s_tree = jax.tree.flatten(S_loc)
 
-    row = P(axis_name)
+                @jax.custom_batching.custom_vmap
+                def M_impl(v, *leaves):
+                    S_ = jax.tree.unflatten(s_tree, leaves)
+                    return dist_apply_preconditioner(
+                        S_, v.reshape(n_loc, n), axis_name=axis_name,
+                        n_devices=ndev, n_rows_global=L,
+                        impl=sweep_impl).reshape(-1)
+
+                @M_impl.def_vmap
+                def _rule(axis_size, in_batched, v, *leaves):
+                    S_ = jax.tree.unflatten(s_tree, leaves)
+                    out = dist_apply_preconditioner(
+                        S_, v.reshape(axis_size, n_loc, n),
+                        axis_name=axis_name, n_devices=ndev,
+                        n_rows_global=L, impl=sweep_impl)
+                    return (out.reshape(axis_size, n_loc * n),
+                            True)
+
+                M = lambda v: M_impl(v, *s_leaves)
+            else:
+                M = apply_one
+
+        solver = partial(gmres, matvec, M=M, restart=restart, rtol=rtol,
+                         maxiter=maxiter, axis_name=axis_name)
+        if batched:
+            return jax.vmap(lambda f: solver(f.reshape(-1)))(f_loc)
+        return solver(f_loc.reshape(-1))
+
+    row = P(axis_name) if not batched else P(None, axis_name)
     repl = P()
     in_specs = (
-        jax.tree.map(lambda _: row, A_sh),
+        jax.tree.map(lambda _: P(axis_name), A_sh),
         DistSweepState(
-            G_pad=jax.tree.map(lambda _: row, state_sh.G_pad),
+            G_pad=jax.tree.map(lambda _: P(axis_name), state_sh.G_pad),
             TF=jax.tree.map(lambda _: repl, state_sh.TF),
             hf_cs=jax.tree.map(lambda _: repl, state_sh.hf_cs),
             hf_cn=jax.tree.map(lambda _: repl, state_sh.hf_cn),
-            a_cs=jax.tree.map(lambda _: row, state_sh.a_cs),
-            a_cn=jax.tree.map(lambda _: row, state_sh.a_cn),
+            a_cs=jax.tree.map(lambda _: P(axis_name), state_sh.a_cs),
+            a_cn=jax.tree.map(lambda _: P(axis_name), state_sh.a_cn),
             b=state_sh.b, d2_replace=state_sh.d2_replace),
         row,
     )

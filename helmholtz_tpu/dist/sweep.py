@@ -25,6 +25,17 @@ The carry passed between devices for the forward sweep is t_j = G_j @ u_j
 (the propagated row, already multiplied), not u_j itself, so each device
 only ever needs its own G blocks (row-aligned shards, `dist.partition`).
 
+Why no GPipe-style wavefront over RHS microbatches: the sweep is
+G-bandwidth-bound and a whole RHS batch shares one G stream (the per-panel
+contraction just widens), so the staged schedule's wall-clock is already
+the serial lower bound — one full pass of G per sweep direction,
+n_dev * T_local_pass(B) with T_local_pass nearly independent of B.
+Splitting the batch into microbatches to overlap stages would run
+(n_dev + n_micro) stages of the SAME bandwidth cost each, i.e. strictly
+more G traffic epochs.  Wavefronting only pays in a compute-bound regime
+(very large B), which this workload does not reach before HBM capacity
+does.
+
 No masking is needed in the Pallas path: G_pad rows for the F band
 (j < b) are zero and the initial forward carry is zero, so the recursion
 leaves F rows untouched through the forward sweep, and the backward sweep's

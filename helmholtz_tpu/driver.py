@@ -190,7 +190,7 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
                precond_refine: int = 0,
                precision: str = "f32",
                inner_rtol: float = 1e-2,
-               fidelity: str = "as-shipped",
+               fidelity: str = "corrected",
                hf_full_coupling: bool = True,
                d2_replace: bool = True,
                setup_chunk: int = 128,
@@ -265,9 +265,121 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
     return report
 
 
+@partial(jax.jit, static_argnames=("n", "problem", "cdtype"))
+def _sources_stage(wave_num, alpha, r1s, r2s, *, n, problem, cdtype):
+    """Batched forcing stage: one RHS per source position (K, n, n).
+
+    Multi-source batching is the physical use of BASELINE config 5's
+    "batched RHS SpMM": many shots at one frequency share the operator and
+    the factored preconditioner, so the whole batch rides one G stream
+    (ops.pallas.sweep batched mode).
+    """
+    omega = (2.0 * jnp.pi * wave_num + 1j * alpha).astype(cdtype)
+    if problem.endswith("f1"):
+        mk = lambda r1, r2: fd_problems.init_f1_mat(
+            r1, r2, omega, n, complex_dtype=cdtype)
+    else:
+        mk = lambda r1, r2: fd_problems.init_f2_mat(
+            r1, r2, 2.0 ** -0.5, 2.0 ** -0.5, omega, n,
+            complex_dtype=cdtype)
+    return pairify(jax.vmap(mk)(r1s, r2s))
+
+
+@partial(jax.jit, static_argnames=("restart", "maxiter", "method"))
+def _msolve_stage(A_pair, P_pair, F_pair, rtol, *, restart, maxiter,
+                  method="gmres"):
+    """Batched-RHS solve: (K, N) right-hand sides through one operator and
+    one preconditioner, the batch sharing a single G stream per apply."""
+    from .precond.sweeping import batchable_operator
+    from .solve.batched import solve_multi_rhs
+
+    A, F = complexify((A_pair, F_pair))
+    K = F.shape[0]
+    M = batchable_operator(P_pair)
+    res = solve_multi_rhs(lambda v: stencil_matvec_flat(A, v),
+                          F.reshape(K, -1), M=M, method=method,
+                          restart=restart, rtol=rtol, maxiter=maxiter)
+    return pairify(res)
+
+
+def run_multisolve(n: int, b: int, wave_nums, consts=None,
+                   alpha: float = 2.0, problem: str = "c1_f1", *,
+                   n_sources: int = 1,
+                   source_y: float = 0.125,
+                   rtol: float = 1e-3, restart: int = 20,
+                   maxiter: int = 200,
+                   fidelity: str = "corrected",
+                   setup_chunk: int = 128,
+                   complex_dtype=None) -> list:
+    """Multi-frequency, multi-source sweep — BASELINE config 5 end-to-end.
+
+    The reference runs frequencies as sequential `run_solver` calls
+    (code.py:574-592) and supports one source per run.  Here each frequency
+    assembles + factors once (jit-cached across frequencies: wave_num/C are
+    traced) and solves all `n_sources` right-hand sides in ONE batched
+    Krylov solve whose preconditioner applications stream the multi-GB G
+    stack once per iteration for the whole batch.  Frequencies run
+    sequentially so peak memory stays one factor stack (the
+    store-vs-recompute choice of SURVEY.md section 7.3 item 1 at the
+    single-chip scale; shard the rows over a mesh via dist.distributed_solve
+    to go wider).
+
+    Returns one record dict per frequency (per-source iteration counts,
+    residuals, timings).
+    """
+    cdtype = complex_dtype or default_complex_dtype()
+    wf = jnp.result_type(float)
+    if consts is None:
+        consts = [100.0] * len(wave_nums)
+    r1s = jnp.linspace(0.2, 0.8, n_sources).astype(wf)
+    r2s = jnp.full((n_sources,), source_y, wf)
+
+    records = []
+    P_pair = res_pair = None
+    for wn, C in zip(wave_nums, consts):
+        # free the previous frequency's factor stack BEFORE building the
+        # next one — two G stacks (2 x ~8.5 GB at n=1023) do not coexist
+        # in 16 GB of HBM
+        P_pair = res_pair = None  # noqa: F841
+        t0 = time.perf_counter()
+        (A_pair, hm_pair, _), _ = _assemble_stage(
+            jnp.asarray(wn, wf), jnp.asarray(C, wf), jnp.asarray(alpha, wf),
+            n=n, b=b, problem=problem, fidelity=fidelity, cdtype=cdtype)
+        F_pair = _sources_stage(jnp.asarray(wn, wf), jnp.asarray(alpha, wf),
+                                r1s, r2s, n=n, problem=problem,
+                                cdtype=cdtype)
+        P_pair = _factor_stage(A_pair, hm_pair, b=b, hf_full_coupling=True,
+                               d2_replace=True, setup_chunk=setup_chunk)
+        _host_sync(P_pair)
+        t1 = time.perf_counter()
+        res_pair = _msolve_stage(A_pair, P_pair, F_pair,
+                                 jnp.asarray(rtol, wf), restart=restart,
+                                 maxiter=maxiter)
+        _host_sync(res_pair)
+        t2 = time.perf_counter()
+
+        from .core.complexlib import tree_to_np
+        A_np = tree_to_np(A_pair)
+        F_np = F_pair.to_np().reshape(n_sources, n, n)
+        X = res_pair.x.to_np().reshape(n_sources, n, n)
+        true_res = [float(np.linalg.norm(
+            (_host_stencil_matvec(A_np, X[k]) - F_np[k]).ravel())
+            / np.linalg.norm(F_np[k].ravel())) for k in range(n_sources)]
+        records.append({
+            "n": n, "b": b, "wave_num": float(wn), "const": float(C),
+            "n_sources": n_sources, "rtol": rtol,
+            "iterations": np.asarray(res_pair.iterations).tolist(),
+            "converged": np.asarray(res_pair.converged).tolist(),
+            "true_residuals": true_res,
+            "init_time_s": t1 - t0, "solve_time_s": t2 - t1,
+            "dtype": str(np.dtype(cdtype)),
+        })
+    return records
+
+
 def build_preconditioner(n: int, b: int, wave_num: float, const: float,
                          alpha: float = 2.0, problem: str = "c1_f1", *,
-                         fidelity: str = "as-shipped",
+                         fidelity: str = "corrected",
                          hf_full_coupling: bool = True,
                          d2_replace: bool = True,
                          setup_chunk: int = 128,

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.sparse import Stencil5
+from ..core.sparse import Stencil5, Stencil9
 from . import pml
 
 
@@ -83,6 +83,77 @@ def build_a_stencil(n, b, const, eta, omega, h, c_full, *,
     cs = cs.at[0, :].set(0)
     cn = cn.at[-1, :].set(0)
     return Stencil5(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn)
+
+
+def build_a_stencil9(n, b, const, eta, omega, h, c_full, *,
+                     gamma=2.0 / 3.0,
+                     fidelity="as-shipped",
+                     complex_dtype=jnp.complex128) -> Stencil9:
+    """9-point Helmholtz operator — the stencil footprint really is a
+    representation parameter (SURVEY.md section 0 note on the driver
+    metadata; VERDICT round 1 item 7).
+
+    The scheme blends the PML 5-point cross with a rotated (diagonal)
+    cross: axis couplings are gamma times the 5-point coefficients, the
+    four diagonal couplings carry weight (1-gamma)/(2h^2) times the
+    symmetrized stretching ratio at the cell-corner midpoint, and the
+    diagonal term keeps omega^2/(s1 s2 c^2) minus the (unmasked) coupling
+    sum — so row sums of the Laplacian part vanish exactly, like the
+    reference scheme.
+
+    Limits that pin the construction:
+      * gamma = 1 reproduces `build_a_stencil` exactly (tested);
+      * gamma = 2/3, no PML (const = 0, s == 1) gives the classical
+        compact 9-point Laplacian [1 4 1; 4 -20 4; 1 4 1] / (6 h^2) plus
+        the mass term (tested).
+    """
+    cd = complex_dtype
+    i = jnp.arange(1, n + 1)
+    j = jnp.arange(1, n + 1)[:, None]
+    inv_h2 = 1.0 / (h * h)
+
+    s1_m = pml.s1((i - 0.5) * h, const, eta, omega, cd)
+    s1_p = pml.s1((i + 0.5) * h, const, eta, omega, cd)
+    s1_c = pml.s1(i * h, const, eta, omega, cd)
+    s2_m = pml.s2((j - 0.5) * h, const, eta, omega, cd)
+    s2_p = pml.s2((j + 0.5) * h, const, eta, omega, cd)
+    s2_c = pml.s2(j * h, const, eta, omega, cd)
+
+    cw = gamma * inv_h2 * (s1_m / s2_c)
+    ce = gamma * inv_h2 * (s1_p / s2_c)
+    cs = gamma * inv_h2 * (s2_m / s1_c)
+    cn = gamma * inv_h2 * (s2_p / s1_c)
+
+    # diagonal couplings at the four corner midpoints ((i +- .5)h, (j +- .5)h):
+    # symmetrized stretching ratio (s1/s2 + s2/s1)/2 -> 1 when s == 1
+    half = 0.5 * (1.0 - gamma) * inv_h2
+
+    def corner(s1_h, s2_h):
+        return half * 0.5 * (s1_h / s2_h + s2_h / s1_h)
+
+    csw = corner(s1_m, s2_m) * jnp.ones((n, 1), cd)
+    cse = corner(s1_p, s2_m) * jnp.ones((n, 1), cd)
+    cnw = corner(s1_m, s2_p) * jnp.ones((n, 1), cd)
+    cne = corner(s1_p, s2_p) * jnp.ones((n, 1), cd)
+    csw, cse, cnw, cne = (jnp.broadcast_to(x, (n, n))
+                          for x in (csw, cse, cnw, cne))
+
+    omega_c = jnp.asarray(omega, cd)
+    cvel = _sample_velocity(jnp.asarray(c_full), i[None, :], j, fidelity)
+    cc = omega_c**2 / (s1_c[None, :] * s2_c * cvel.astype(cd) ** 2) \
+        - (cw + ce + cs + cn + csw + cse + cnw + cne)
+
+    # Dirichlet masking of couplings that leave the grid
+    cw = cw.at[:, 0].set(0)
+    ce = ce.at[:, -1].set(0)
+    cs = cs.at[0, :].set(0)
+    cn = cn.at[-1, :].set(0)
+    csw = csw.at[0, :].set(0).at[:, 0].set(0)
+    cse = cse.at[0, :].set(0).at[:, -1].set(0)
+    cnw = cnw.at[-1, :].set(0).at[:, 0].set(0)
+    cne = cne.at[-1, :].set(0).at[:, -1].set(0)
+    return Stencil9(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn,
+                    csw=csw, cse=cse, cnw=cnw, cne=cne)
 
 
 def build_hm_stencils(n, b, const, eta, omega, h, c_full, *,

@@ -86,14 +86,71 @@ def _csr_union_pattern(A: CSR, B: CSR):
     return indptr, cols, a_map, b_map
 
 
+def stencil_to_bsr(A: Stencil5) -> BSR:
+    """Materialize a Stencil5 as block-tridiagonal BSR with (n, n) layer
+    blocks — the natural block structure of the operator (SURVEY.md
+    section 0: tridiagonal diagonal blocks, diagonal couplings), and the
+    input format for SpGEMM-based setup products.
+    """
+    L, n = A.grid_shape
+    i = jnp.arange(n)
+    diag = jnp.zeros((L, n, n), A.dtype)
+    diag = diag.at[:, i, i].set(A.cc)
+    diag = diag.at[:, i[1:], i[1:] - 1].set(A.cw[:, 1:])
+    diag = diag.at[:, i[:-1], i[:-1] + 1].set(A.ce[:, :-1])
+    sub = jnp.zeros((L - 1, n, n), A.dtype).at[:, i, i].set(A.cs[1:])
+    sup = jnp.zeros((L - 1, n, n), A.dtype).at[:, i, i].set(A.cn[:-1])
+    data_all = jnp.concatenate([sub, diag, sup], axis=0)
+
+    perm, cols, counts = [], [], []
+    for j in range(L):
+        c = 0
+        if j > 0:
+            perm.append(j - 1)             # sub_j lives at data_all[j-1]
+            cols.append(j - 1)
+            c += 1
+        perm.append((L - 1) + j)           # diag_j
+        cols.append(j)
+        c += 1
+        if j < L - 1:
+            perm.append((L - 1) + L + j)   # sup_j
+            cols.append(j + 1)
+            c += 1
+        counts.append(c)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return BSR(data_all[jnp.asarray(perm)], jnp.asarray(cols, jnp.int32),
+               jnp.asarray(indptr), (L * n, L * n), (n, n))
+
+
 # -- BSR SpGEMM --------------------------------------------------------------
+
+def _spgemm_pairs(a_ip, a_ix, b_ip, b_ix, n_brows, n_bcols_out):
+    """Vectorized symbolic expansion of C = A @ B block pairs.
+
+    For every stored block p of A (row i, block-col k) and every stored
+    block q of B in row k, emit (p, q, i * n_bcols_out + col(q)).  Pure
+    numpy — O(n_pairs), no Python loop (VERDICT round 1 item 8: the
+    previous triple loop choked beyond toy sizes)."""
+    a_rows = np.repeat(np.arange(n_brows, dtype=np.int64), np.diff(a_ip))
+    counts = np.diff(b_ip)[a_ix]               # B-row length per A block
+    total = int(counts.sum())
+    if total == 0:
+        return (np.zeros(0, np.int64),) * 3
+    a_pair = np.repeat(np.arange(a_ix.shape[0], dtype=np.int64), counts)
+    starts = np.repeat(b_ip[a_ix].astype(np.int64), counts)
+    run_off = np.repeat(np.cumsum(counts, dtype=np.int64) - counts, counts)
+    b_pair = starts + (np.arange(total, dtype=np.int64) - run_off)
+    out_key = a_rows[a_pair] * n_bcols_out + b_ix[b_pair].astype(np.int64)
+    return a_pair, b_pair, out_key
+
 
 def bsr_spgemm(A: BSR, B: BSR) -> BSR:
     """C = A @ B for block-sparse matrices (MXU numeric phase).
 
     Host symbolic phase enumerates contributing block pairs and the output
-    pattern; numeric phase is one batched (bm, bk) x (bk, bn) matmul over
-    all pairs plus a segment-sum into output blocks.
+    pattern (vectorized numpy — scales to setup-sized operators); numeric
+    phase is one batched (bm, bk) x (bk, bn) matmul over all pairs plus a
+    segment-sum into output blocks.
     """
     assert A.shape[1] == B.shape[0]
     assert A.blocksize[1] == B.blocksize[0]
@@ -104,22 +161,13 @@ def bsr_spgemm(A: BSR, B: BSR) -> BSR:
     a_ip, a_ix = np.asarray(A.indptr), np.asarray(A.indices)
     b_ip, b_ix = np.asarray(B.indptr), np.asarray(B.indices)
 
-    a_pair, b_pair, out_key = [], [], []
-    for i in range(n_brows):
-        for ap in range(a_ip[i], a_ip[i + 1]):
-            k = a_ix[ap]
-            for bp in range(b_ip[k], b_ip[k + 1]):
-                j = b_ix[bp]
-                a_pair.append(ap)
-                b_pair.append(bp)
-                out_key.append(i * (B.shape[1] // bn) + j)
-    if not out_key:
+    a_pair, b_pair, out_key = _spgemm_pairs(
+        a_ip, a_ix, b_ip, b_ix, n_brows, B.shape[1] // bn)
+    if out_key.shape[0] == 0:
         z = jnp.zeros((0,), jnp.int32)
         return BSR(jnp.zeros((0, bm, bn), A.dtype), z,
                    jnp.zeros(n_brows + 1, jnp.int32),
                    (A.shape[0], B.shape[1]), (bm, bn))
-
-    out_key = np.asarray(out_key)
     uniq, inv = np.unique(out_key, return_inverse=True)
     rows = uniq // (B.shape[1] // bn)
     cols = (uniq % (B.shape[1] // bn)).astype(np.int32)

@@ -441,19 +441,25 @@ def batchable_operator(P: SweepingPreconditioner):
     """Wrap P as a flat-vector callable whose `jax.vmap` rule dispatches to
     `apply_preconditioner_multi` — so `vmap`-built batched solvers
     (solve.batched.solve_multi_rhs) share one G stream across the batch
-    instead of re-streaming the stack per RHS."""
+    instead of re-streaming the stack per RHS.
+
+    P's leaves cross the custom_vmap boundary as explicit arguments (not a
+    closure), so the wrapper also works when P is a tracer tree inside an
+    enclosing jit (e.g. driver._msolve_stage)."""
     L, n = P.grid_shape
+    p_leaves, p_tree = jax.tree.flatten(P)
 
     @jax.custom_batching.custom_vmap
-    def M_apply(x):
-        return P(x)
+    def M_impl(x, *leaves):
+        return jax.tree.unflatten(p_tree, leaves)(x)
 
-    @M_apply.def_vmap
-    def _rule(axis_size, in_batched, xs):
-        out = apply_preconditioner_multi(P, xs.reshape(axis_size, L, n))
+    @M_impl.def_vmap
+    def _rule(axis_size, in_batched, xs, *leaves):
+        P_ = jax.tree.unflatten(p_tree, leaves)
+        out = apply_preconditioner_multi(P_, xs.reshape(axis_size, L, n))
         return out.reshape(axis_size, L * n), True
 
-    return M_apply
+    return lambda x: M_impl(x, *p_leaves)
 
 
 def apply_fixed_rhs(P: SweepingPreconditioner, f_fixed: jax.Array):

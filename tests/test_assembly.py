@@ -11,7 +11,11 @@ import reference_oracle as oracle
 
 
 def _cfg(n=15, b=4, wave_num=2.0, const=20.0):
-    return HelmholtzConfig(n=n, b=b, wave_num=wave_num, const=const, alpha=2.0)
+    # the scalar oracle (tests/reference_oracle.py) implements the
+    # reference's as-shipped velocity sampling, so parity tests pin it
+    # (the framework default is "corrected")
+    return HelmholtzConfig(n=n, b=b, wave_num=wave_num, const=const,
+                           alpha=2.0, fidelity="as-shipped")
 
 
 @pytest.mark.parametrize("n,b", [(15, 4), (31, 12)])
@@ -117,3 +121,77 @@ def test_corrected_velocity_sampling_transposes():
     # and for the radially-symmetric centered c1 the two fidelities differ
     # only by the one-point shift (sanity: matrices are close but not equal)
     assert not np.allclose(np.asarray(A_ship.cc), np.asarray(A_corr2.cc))
+
+
+def test_stencil9_gamma1_reduces_to_5point():
+    """gamma=1 must reproduce the 5-point operator exactly (the footprint
+    is a representation parameter, SURVEY.md section 0)."""
+    import jax.numpy as jnp
+    from helmholtz_tpu.fd.stencil import build_a_stencil, build_a_stencil9
+
+    n, b = 17, 4
+    h = 1.0 / (n + 1)
+    eta = b * h
+    omega = 2.0 * jnp.pi * 2.0 + 2.0j
+    c_full = jnp.ones((n + 2, n + 2))
+    A5 = build_a_stencil(n, b, 20.0, eta, omega, h, c_full)
+    A9 = build_a_stencil9(n, b, 20.0, eta, omega, h, c_full, gamma=1.0)
+    for f in ("cc", "cw", "ce", "cs", "cn"):
+        np.testing.assert_allclose(np.asarray(getattr(A9, f)),
+                                   np.asarray(getattr(A5, f)),
+                                   rtol=1e-14, atol=0)
+    for f in ("csw", "cse", "cnw", "cne"):
+        np.testing.assert_array_equal(np.asarray(getattr(A9, f)), 0)
+
+
+def test_stencil9_classical_compact_weights():
+    """gamma=2/3 with no PML == [1 4 1; 4 -20 4; 1 4 1]/(6h^2) + mass."""
+    import jax.numpy as jnp
+    from helmholtz_tpu.fd.stencil import build_a_stencil9
+
+    n = 9
+    h = 1.0 / (n + 1)
+    omega = 2.0 * jnp.pi * 1.0 + 0.0j
+    c_full = jnp.ones((n + 2, n + 2))
+    A9 = build_a_stencil9(n, 2, 0.0, 2 * h, omega, h, c_full)  # const=0: s==1
+    k = n // 2  # interior point
+    ih2 = 1.0 / h**2
+    assert np.isclose(complex(A9.cw[k, k]), 4.0 / 6.0 * ih2)
+    assert np.isclose(complex(A9.cne[k, k]), 1.0 / 6.0 * ih2)
+    mass = complex(omega**2)
+    assert np.isclose(complex(A9.cc[k, k]), -20.0 / 6.0 * ih2 + mass)
+
+
+def test_stencil9_truncation_and_solve():
+    """The 9-point operator is a consistent Helmholtz discretization: its
+    action on a smooth eigenfunction matches (omega^2 - 2 pi^2) u, and the
+    system solves through the Stencil9 matvec path."""
+    import jax.numpy as jnp
+    from helmholtz_tpu.fd.stencil import build_a_stencil9
+    from helmholtz_tpu.ops.spmv import stencil9_matvec
+    from helmholtz_tpu.solve import gmres
+
+    n = 31
+    h = 1.0 / (n + 1)
+    omega = 2.0 * jnp.pi * 1.0 + 2.0j
+    c_full = jnp.ones((n + 2, n + 2))
+    A9 = build_a_stencil9(n, 2, 0.0, 2 * h, omega, h, c_full)
+
+    x = np.linspace(0, 1, n + 2)[1:-1]
+    xx, yy = np.meshgrid(x, x)
+    u = np.sin(np.pi * xx) * np.sin(np.pi * yy)
+    Au = np.asarray(stencil9_matvec(A9, jnp.asarray(u, A9.cc.dtype)))
+    expect = (complex(omega**2) - 2 * np.pi**2) * u
+    interior = np.abs(Au - expect)[2:-2, 2:-2].max()
+    assert interior < 0.5 * np.pi**4 * h**2 * 10   # O(h^2) truncation
+
+    # solve A9 x = f via GMRES through the 9-point matvec; verify against
+    # the dense oracle
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.standard_normal((n, n))
+                    + 1j * rng.standard_normal((n, n)), A9.cc.dtype)
+    mv = lambda v: stencil9_matvec(A9, v.reshape(n, n)).reshape(-1)
+    res = gmres(mv, f.reshape(-1), restart=50, rtol=1e-8, maxiter=5000)
+    x_dense = np.linalg.solve(A9.todense(), np.asarray(f).reshape(-1))
+    np.testing.assert_allclose(np.asarray(res.x), x_dense, rtol=1e-5,
+                               atol=1e-7)

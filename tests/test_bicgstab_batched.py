@@ -62,9 +62,15 @@ def test_multi_rhs_batch():
     X = np.asarray(res.x)
     assert bool(res.converged.all())
     for i in range(4):
-        r = np.linalg.norm(A @ X[i] - np.asarray(Bmat[i]))
-        # scipy-legacy semantics: tol is on the preconditioned residual
-        assert r / np.linalg.norm(np.asarray(Bmat[i])) < 0.3
+        # assert the ACTUAL convergence semantics (scipy-legacy: tolerance
+        # on the preconditioned residual), not a loose true-residual proxy
+        r_vec = np.asarray(Bmat[i]) - A @ X[i]
+        Mr = np.asarray(P(jnp.asarray(r_vec)))
+        Mb = np.asarray(P(Bmat[i]))
+        assert np.linalg.norm(Mr) <= 1.2e-3 * np.linalg.norm(Mb)
+        # and a sane (if weaker) true-residual bound
+        assert (np.linalg.norm(r_vec)
+                / np.linalg.norm(np.asarray(Bmat[i]))) < 0.05
 
 
 def test_multi_frequency_sweep():

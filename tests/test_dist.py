@@ -166,3 +166,172 @@ def test_staged_sweep_padded_g_matches_single_device():
     u_dist = np.asarray(fn(state, f))
     u_ref = np.asarray(apply_preconditioner(P_plain, f, impl="xla"))
     np.testing.assert_allclose(u_dist, u_ref, rtol=1e-9, atol=1e-9)
+
+
+def _sweep_specs(state):
+    from helmholtz_tpu.dist.partition import DistSweepState
+
+    row, repl = P("layers"), P()
+    return DistSweepState(
+        G_pad=jax.tree.map(lambda _: row, state.G_pad),
+        TF=jax.tree.map(lambda _: repl, state.TF),
+        hf_cs=jax.tree.map(lambda _: repl, state.hf_cs),
+        hf_cn=jax.tree.map(lambda _: repl, state.hf_cn),
+        a_cs=jax.tree.map(lambda _: row, state.a_cs),
+        a_cn=jax.tree.map(lambda _: row, state.a_cn),
+        b=state.b, d2_replace=state.d2_replace)
+
+
+def _dist_apply(state, f, n_rows, impl="auto", in_spec=None):
+    from helmholtz_tpu.dist.sweep import dist_apply_preconditioner
+
+    mesh = make_mesh(NDEV)
+    row = P("layers") if f.ndim == 2 else P(None, "layers")
+    fn = jax.jit(jax.shard_map(
+        lambda S, fl: dist_apply_preconditioner(
+            S, fl, axis_name="layers", n_devices=NDEV,
+            n_rows_global=n_rows, impl=impl),
+        mesh=mesh, in_specs=(_sweep_specs(state), row), out_specs=row,
+        check_vma=False))
+    return np.asarray(fn(state, f))
+
+
+def test_staged_sweep_pallas_impl_matches_single_device():
+    """The Pallas local-sweep path of the distributed apply (interpret mode
+    on CPU) must bit-match the XLA staged path and the single-device apply
+    (VERDICT round 1 item 2)."""
+    cfg = HelmholtzConfig(n=32, b=3, wave_num=2.0, const=20.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    P_pad = setup_preconditioner(prob.A, hm, cfg.b, pad_lanes=True)
+    state = dist_state_from_preconditioner(P_pad)
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+
+    u_pallas = _dist_apply(state, f, cfg.n, impl="pallas")
+    u_xla = _dist_apply(state, f, cfg.n, impl="xla")
+    u_ref = np.asarray(apply_preconditioner(P_pad, f, impl="xla"))
+    np.testing.assert_allclose(u_pallas, u_ref, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(u_xla, u_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_staged_sweep_batched_matches_vmapped_single():
+    """A batch of RHS through one staged schedule == per-RHS applies."""
+    cfg, prob, P_ = _problem()
+    state = dist_state_from_preconditioner(P_)
+    rng = np.random.default_rng(8)
+    F = jnp.asarray(rng.standard_normal((3, cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((3, cfg.n, cfg.n)))
+
+    u_dist = _dist_apply(state, F, cfg.n, impl="xla")
+    u_ref = np.asarray(jax.vmap(
+        lambda f: apply_preconditioner(P_, f, impl="xla"))(F))
+    np.testing.assert_allclose(u_dist, u_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_staged_sweep_boundary_b_equals_nloc_minus_1():
+    """b = n_loc - 1: the F band fills almost all of device 0 (the
+    b ~ n_loc boundary VERDICT round 1 flagged as untested)."""
+    cfg, prob, P_ = _problem(n=64, b=7)   # n_loc = 8
+    state = dist_state_from_preconditioner(P_)
+    rng = np.random.default_rng(9)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+
+    u_dist = _dist_apply(state, f, cfg.n, impl="xla")
+    u_ref = np.asarray(apply_preconditioner(P_, f, impl="xla"))
+    np.testing.assert_allclose(u_dist, u_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_distributed_solve_batched_rhs():
+    """distributed_solve with a (B, L, n) batch: every RHS converges and
+    matches its own single-device solve."""
+    cfg, prob, P_ = _problem()
+    state = dist_state_from_preconditioner(P_)
+    mesh = make_mesh(NDEV)
+    rng = np.random.default_rng(10)
+    F = jnp.stack([
+        prob.f_grid,
+        jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n))),
+    ])
+
+    res = distributed_solve(mesh, prob.A, state, F, rtol=1e-3, maxiter=200)
+    assert res.x.shape == (2, cfg.n * cfg.n)
+    A = prob.A.toscipy()
+    for k in range(2):
+        fk = np.asarray(F[k]).reshape(-1)
+        xk = np.asarray(res.x[k])
+        # legacy-tol semantics are on the preconditioned residual; check
+        # the true residual against a modest multiple of rtol
+        assert np.linalg.norm(A @ xk - fk) / np.linalg.norm(fk) < 5e-2
+        r_single = gmres(lambda v: stencil_matvec_flat(prob.A, v),
+                         jnp.asarray(fk), M=P_, restart=20, rtol=1e-3,
+                         maxiter=200)
+        np.testing.assert_allclose(xk, np.asarray(r_single.x),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_halo_overlap_dataflow_schedule():
+    """Overlap guard (BASELINE config 4): both ppermutes must be issued
+    BEFORE the interior compute in program order, and their outputs
+    consumed only by the trailing boundary fixup — the dataflow shape that
+    lets XLA's latency-hiding scheduler run the collective-permute under
+    the interior 5-point apply."""
+    cfg, prob, _ = _problem()
+    n_loc = cfg.n // NDEV
+
+    def local(A_loc, u_loc):
+        return halo_stencil_matvec(A_loc, u_loc, "layers", NDEV)
+
+    mesh = make_mesh(NDEV)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("layers"), prob.A), P("layers")),
+        out_specs=P("layers"))
+    closed = jax.make_jaxpr(fn)(prob.A,
+                                jnp.zeros((cfg.n, cfg.n), prob.A.dtype))
+    # descend into the shard_map body
+    [smap_eqn] = [e for e in closed.jaxpr.eqns
+                  if "shard_map" in e.primitive.name]
+    body = smap_eqn.params["jaxpr"]
+    eqns = body.eqns if hasattr(body, "eqns") else body.jaxpr.eqns
+    perm_idx = [i for i, e in enumerate(eqns)
+                if "ppermute" in e.primitive.name]
+    assert len(perm_idx) == 2, [e.primitive.name for e in eqns]
+    perm_vars = set()
+    for i in perm_idx:
+        perm_vars.update(map(id, eqns[i].outvars))
+    consumers = [i for i, e in enumerate(eqns)
+                 if any(id(v) in perm_vars for v in e.invars)]
+    assert consumers, "permute results must be consumed"
+    # interior work (the big elementwise eqns) sits between issue and use
+    first_use = min(consumers)
+    interior = [i for i, e in enumerate(eqns)
+                if e.primitive.name in ("mul", "add") and e.outvars and
+                getattr(e.outvars[0].aval, "shape", ()) == (n_loc, cfg.n)]
+    assert interior, "expected interior elementwise work"
+    n_between = sum(1 for i in interior if max(perm_idx) < i < first_use)
+    assert n_between >= 3, (perm_idx, first_use, interior)
+
+
+def test_scaling_harness_smoke():
+    """bench.scaling runs end-to-end on the virtual mesh and reports
+    efficiencies for every device count."""
+    from helmholtz_tpu.bench.scaling import scaling_report
+
+    rep = scaling_report(strong_n=32, weak_rows_per_dev=8, b=3,
+                         ndevs=(1, 2, 4))
+    assert rep["backend"] == "cpu-virtual"
+    assert [r["n_devices"] for r in rep["strong"]] == [1, 2, 4]
+    for r in rep["strong"]:
+        assert r["converged"] and r["solve_s"] > 0
+        assert 0 < r["strong_efficiency"]
+    for r in rep["weak_apply_constant_work"]:
+        assert 0 < r["weak_efficiency"]
+    for r in rep["weak_solve_square_grids"]:
+        assert r["converged"]
+    assert len(rep["apply"]) == 3

@@ -18,7 +18,11 @@ import reference_oracle as oracle
 
 
 def _setup(n, b, wave_num, const, problem="c1_f1", **pk):
-    cfg = HelmholtzConfig(n=n, b=b, wave_num=wave_num, const=const)
+    # as-shipped pinned: several tests below compare against the scalar
+    # oracle (tests/reference_oracle.py), which implements the reference's
+    # as-shipped velocity sampling (framework default is "corrected")
+    cfg = HelmholtzConfig(n=n, b=b, wave_num=wave_num, const=const,
+                          fidelity="as-shipped")
     prob = assemble_problem(cfg, problem)
     hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
                                    cfg.omega, cfg.h, prob.c_full,
@@ -104,3 +108,47 @@ def test_preconditioner_is_linear():
     lhs = np.asarray(P(2.0 * x + 3.0 * y))
     rhs = 2.0 * np.asarray(P(x)) + 3.0 * np.asarray(P(y))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-10, atol=1e-12)
+
+
+def test_apply_fixed_rhs_emulates_d1():
+    """Deviation D1 (code.py:510-511): the as-shipped 'preconditioner'
+    ignores its argument — M(random) == M(f) exactly (SURVEY.md Appendix A,
+    verified against the reference empirically)."""
+    import jax.numpy as jnp
+    from helmholtz_tpu import HelmholtzConfig, assemble_problem
+    from helmholtz_tpu.fd import stencil as fd_stencil
+    from helmholtz_tpu.precond import setup_preconditioner
+    from helmholtz_tpu.precond.sweeping import (apply_fixed_rhs,
+                                                apply_preconditioner)
+
+    cfg = HelmholtzConfig(n=31, b=5, wave_num=2.0, const=20.0,
+                          fidelity="as-shipped")
+    prob = assemble_problem(cfg, "c1_f1")
+    hm = fd_stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                      cfg.omega, cfg.h, prob.c_full,
+                                      fidelity=cfg.fidelity)
+    P_ = setup_preconditioner(prob.A, hm, cfg.b)
+    M_d1 = apply_fixed_rhs(P_, prob.f_vec)
+
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal(cfg.n**2)
+                    + 1j * rng.standard_normal(cfg.n**2))
+    out_rand = np.asarray(M_d1(z))
+    out_f = np.asarray(M_d1(prob.f_vec))
+    np.testing.assert_array_equal(out_rand, out_f)
+    # and the fixed output is the true sweep of f
+    ref = np.asarray(apply_preconditioner(
+        P_, prob.f_grid).reshape(-1))
+    np.testing.assert_allclose(out_f, ref, rtol=1e-12)
+
+
+def test_run_solver_exact_precond():
+    """precond='exact' through the driver: the exact block-LDL^T is a
+    perfect preconditioner, so GMRES converges in ~1 iteration."""
+    from helmholtz_tpu.driver import run_solver
+
+    r = run_solver(31, 5, 2.0, 20.0, precond="exact", rtol=1e-8,
+                   maxiter=20)
+    assert r.converged
+    assert r.iterations <= 2
+    assert r.true_residual < 1e-6
