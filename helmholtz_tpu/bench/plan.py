@@ -19,14 +19,15 @@ import sys
 
 def plan(n: int, b: int = 12, batch: int = 1, restart: int = 20,
          hbm_gb: float = 16.0, pad_lanes: bool = True,
-         setup_chunk: int = 128) -> dict:
+         setup_chunk: int = 128, g_dtype: str = "f32") -> dict:
     n_pad = -(-n // 128) * 128 if pad_lanes else n
     M = n - b
     f32 = 4
+    g_item = {"f32": 4, "working": 4, "bf16": 2}[g_dtype]
     c64 = 8                                   # split-real complex64 pair
     N = n * n
 
-    g_bytes = 2 * M * n_pad * n_pad * f32     # the factor stack (re+im)
+    g_bytes = 2 * M * n_pad * n_pad * g_item  # the factor stack (re+im)
     tf_bytes = 2 * b * n * n * f32
     stencil_bytes = 2 * 5 * N * f32           # A fields
     hm_bytes = 2 * 5 * M * b * n * f32        # subgrid family fields
@@ -46,7 +47,7 @@ def plan(n: int, b: int = 12, batch: int = 1, restart: int = 20,
         min_dev *= 2
 
     return {
-        "n": n, "b": b, "batch": batch, "n_pad": n_pad,
+        "n": n, "b": b, "batch": batch, "n_pad": n_pad, "g_dtype": g_dtype,
         "g_stack_gb": round(g_bytes / 1e9, 2),
         "operator_gb": round((stencil_bytes + hm_bytes) / 1e9, 2),
         "krylov_gb": round(krylov / 1e9, 2),
@@ -68,9 +69,11 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--restart", type=int, default=20)
     ap.add_argument("--hbm-gb", type=float, default=16.0)
+    ap.add_argument("--g-dtype", default="f32",
+                    choices=["f32", "bf16", "working"])
     args = ap.parse_args(argv)
     print(json.dumps(plan(args.n, args.b, args.batch, args.restart,
-                          args.hbm_gb), indent=1))
+                          args.hbm_gb, g_dtype=args.g_dtype), indent=1))
     return 0
 
 

@@ -125,7 +125,7 @@ def measure_spmv(n: int = 1023, use_pallas: bool = True) -> dict:
     }
 
 
-def measure_sweep(n: int = 1023, b: int = 12) -> dict:
+def measure_sweep(n: int = 1023, b: int = 12, g_dtype: str = "working") -> dict:
     """Preconditioner-apply throughput vs the G-stack streaming roofline.
 
     One apply streams the (M, n, n) split-complex corner-inverse stack
@@ -144,7 +144,7 @@ def measure_sweep(n: int = 1023, b: int = 12) -> dict:
         jnp.asarray(16.0, wf), jnp.asarray(81.0, wf), jnp.asarray(2.0, wf),
         n=n, b=b, problem="c1_f1", cdtype=cdtype, fidelity="as-shipped")
     P = _factor_stage(A_pair, hm_pair, b=b, hf_full_coupling=True,
-                      d2_replace=True, setup_chunk=128)
+                      d2_replace=True, setup_chunk=128, g_dtype=g_dtype)
     # loop state stays split-real: complex leaves cannot be device_get
     # through this backend (core.complexlib)
     f0 = CArray(f_pair.re.reshape(n, n), f_pair.im.reshape(n, n))

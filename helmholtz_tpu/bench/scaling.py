@@ -42,7 +42,12 @@ import jax.numpy as jnp
 def _sync(tree):
     for leaf in jax.tree.leaves(tree):
         if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
-            np.asarray(jax.device_get(leaf.ravel()[:1]))
+            x = leaf.ravel()[:1]
+            if jnp.iscomplexobj(x):
+                # complex buffers cannot cross the device->host boundary on
+                # this backend (core.complexlib) — fetch one real plane
+                x = jnp.real(x)
+            np.asarray(jax.device_get(x))
             return
 
 
@@ -125,13 +130,17 @@ def measure_dist_apply(n, b, ndev, *, wave_num=2.0, const=20.0,
             b=state_sh.b, d2_replace=state_sh.d2_replace),
         row)
 
-    def local(S_loc, f_loc):
+    def local(S_loc, f_pair):
+        # pairs at rest (shard_problem), complex in flight
+        from ..core.complexlib import CArray, complexify
+
         def body(_, u):
             v = dist_apply_preconditioner(
                 S_loc, u, axis_name=LAYER_AXIS, n_devices=ndev,
                 n_rows_global=L)
             return v * (1.0 / (1.0 + 1e-6))
-        return jax.lax.fori_loop(0, inner_iters, body, f_loc)
+        out = jax.lax.fori_loop(0, inner_iters, body, complexify(f_pair))
+        return CArray(jnp.real(out), jnp.imag(out))
 
     fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                                out_specs=row, check_vma=False))
@@ -180,7 +189,7 @@ def measure_weak_apply(ndev, *, n=64, rows_per_dev=8, reps=3,
         a_cs=CArray(rnd(L, n), rnd(L, n)),
         a_cn=CArray(rnd(L, n), rnd(L, n)),
         b=b, d2_replace=True)
-    f = jax.lax.complex(rnd(L, n), rnd(L, n))
+    f = CArray(rnd(L, n), rnd(L, n))      # pair at rest (TPU convention)
 
     mesh = make_mesh(ndev)
     row, repl = P(LAYER_AXIS), P()
@@ -204,22 +213,24 @@ def measure_weak_apply(ndev, *, n=64, rows_per_dev=8, reps=3,
         a_cn=jax.tree.map(lambda _: row, state.a_cn),
         b=b, d2_replace=True), row)
 
-    def local(S_loc, f_loc):
+    def local(S_loc, f_pair):
         def body(_, u):
             v = dist_apply_preconditioner(
                 S_loc, u, axis_name=LAYER_AXIS, n_devices=ndev,
                 n_rows_global=L)
             return v * (1.0 / (1.0 + 1e-6))
-        return jax.lax.fori_loop(0, inner_iters, body, f_loc)
+        out = jax.lax.fori_loop(0, inner_iters, body, f_pair.cplx)
+        return CArray(jnp.real(out), jnp.imag(out))
 
     fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                                out_specs=row, check_vma=False))
-    out = fn(state_sh, shard_rows(f))
+    f_sh = jax.tree.map(shard_rows, f)
+    out = fn(state_sh, f_sh)
     _sync(out)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(state_sh, shard_rows(f))
+        out = fn(state_sh, f_sh)
         _sync(out)
         times.append(time.perf_counter() - t0)
     return {"n": n, "rows_per_device": rows_per_dev, "n_devices": ndev,
@@ -239,21 +250,28 @@ def measure_halo_fraction(n, ndev, *, inner_iters=50, reps=3) -> dict:
     from ..driver import default_complex_dtype
     from ..ops.spmv import stencil_matvec
 
+    from ..core.complexlib import CArray, complexify, pairify
+
     cfg = HelmholtzConfig(n=n, b=3, wave_num=2.0, const=20.0)
     prob = assemble_problem(cfg, "c1_f1",
                             complex_dtype=default_complex_dtype())
     mesh = make_mesh(ndev)
     shard = lambda x: jax.device_put(x, NamedSharding(mesh, P(
         LAYER_AXIS, *([None] * (x.ndim - 1)))))
-    A_sh = jax.tree.map(shard, prob.A)
-    f_sh = shard(prob.f_grid)
-    specs = (jax.tree.map(lambda _: P(LAYER_AXIS), prob.A), P(LAYER_AXIS))
+    A_pair = pairify(prob.A)
+    A_sh = jax.tree.map(shard, A_pair)
+    f_sh = jax.tree.map(shard, pairify(prob.f_grid))
+    specs = (jax.tree.map(lambda _: P(LAYER_AXIS), A_sh), P(LAYER_AXIS))
 
     def timed(local_fn):
-        def local(A_loc, u_loc):
+        def local(A_loc_pair, u_pair):
+            A_loc = complexify(A_loc_pair)
+
             def body(_, u):
                 return local_fn(A_loc, u) * (1.0 / (1.0 + 1e-6))
-            return jax.lax.fori_loop(0, inner_iters, body, u_loc)
+            out = jax.lax.fori_loop(0, inner_iters, body,
+                                    complexify(u_pair))
+            return CArray(jnp.real(out), jnp.imag(out))
         fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=specs,
                                    out_specs=P(LAYER_AXIS),
                                    check_vma=False))
@@ -286,9 +304,11 @@ def scaling_report(*, strong_n=64, weak_rows_per_dev=16, b=3,
     label = ("cpu-virtual" if backend == "cpu" else backend)
 
     strong = [measure_dist_solve(strong_n, b, d, rtol=rtol) for d in ndevs]
-    t1 = strong[0]["solve_s"]
+    # anchor on the smallest measured device count (which need not be 1)
+    d0, t0 = strong[0]["n_devices"], strong[0]["solve_s"]
     for rec in strong:
-        rec["strong_efficiency"] = t1 / (rec["n_devices"] * rec["solve_s"])
+        rec["strong_efficiency"] = (t0 * d0) / (rec["n_devices"]
+                                                * rec["solve_s"])
 
     weak_apply = [measure_weak_apply(d) for d in ndevs]
     ta1 = weak_apply[0]["s_per_apply"]

@@ -41,6 +41,21 @@ def _add_solver_args(p):
                    help="reproduce deviation D2 (subtract diag step)")
     p.add_argument("--block-diag-hf", action="store_true",
                    help="reproduce deviation D3 (block-diagonal H_F)")
+    p.add_argument("--precision", default="f32",
+                   choices=["f32", "ir-df32"],
+                   help="ir-df32: mixed-precision iterative refinement "
+                        "(df32 solution carry + compensated residual) — "
+                        "required to reach rtol <= 1e-6 on TPU")
+    p.add_argument("--precond-refine", type=int, default=0, metavar="K",
+                   help="K Newton-refinement steps of the preconditioner "
+                        "solve per application (squares ||I - MA||)")
+    p.add_argument("--inner-rtol", type=float, default=1e-2,
+                   help="per-cycle tolerance of the ir-df32 inner solver")
+    p.add_argument("--g-dtype", default="working",
+                   choices=["working", "f32", "bf16"],
+                   help="storage dtype of the factor stack G: bf16 halves "
+                        "HBM traffic + memory at unchanged iteration "
+                        "counts (measured)")
 
 
 def _add_output_args(p):
@@ -65,6 +80,10 @@ def _solve_one(args):
         problem=args.problem, rtol=args.rtol, restart=args.restart,
         maxiter=args.maxiter, method=args.method, precond=args.precond,
         fidelity=args.fidelity,
+        precision=args.precision,
+        precond_refine=args.precond_refine,
+        inner_rtol=args.inner_rtol,
+        g_dtype=args.g_dtype,
         hf_full_coupling=not args.block_diag_hf,
         d2_replace=not args.as_shipped_d2)
 
@@ -150,14 +169,24 @@ def cmd_multisolve(args):
     from .solve.resumable import SweepCheckpoint
 
     ckpt = SweepCheckpoint(args.checkpoint or "")
-    done = ckpt.done_keys()
     consts = args.consts or [100.0] * len(args.freqs)
+    if len(consts) == 1:
+        consts = consts * len(args.freqs)
+    if len(consts) != len(args.freqs):
+        ap_err = (f"--consts got {len(consts)} values for "
+                  f"{len(args.freqs)} --freqs")
+        raise SystemExit(ap_err)
+    template = {"n": args.n, "b": args.b, "problem": args.problem,
+                "rtol": args.rtol, "n_sources": args.multi_rhs}
+    done = {SweepCheckpoint.key_of(r) for r in ckpt.matching(template)}
     ok = True
-    for rec in ckpt.records:
+    for rec in ckpt.matching(template):
         print(json.dumps(rec))
         ok &= all(rec["converged"])
     for wn, C in zip(args.freqs, consts):
-        if (args.n, float(wn)) in done:
+        key = SweepCheckpoint.key_of({**template, "wave_num": float(wn),
+                                      "const": float(C)})
+        if key in done:
             continue
         [rec] = run_multisolve(
             args.n, args.b, [wn], consts=[C], alpha=args.alpha,
@@ -254,10 +283,12 @@ def main(argv=None):
     p.add_argument("--b", type=int, default=12)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--hbm-gb", type=float, default=16.0)
+    p.add_argument("--g-dtype", default="f32",
+                   choices=["f32", "bf16", "working"])
     p.set_defaults(fn=lambda a: __import__(
         "helmholtz_tpu.bench.plan", fromlist=["main"]).main(
             ["--n", str(a.n), "--b", str(a.b), "--batch", str(a.batch),
-             "--hbm-gb", str(a.hbm_gb)]))
+             "--hbm-gb", str(a.hbm_gb), "--g-dtype", a.g_dtype]))
 
     p = sub.add_parser("bench-spmv", help="SpMV roofline measurement")
     p.add_argument("--n", type=int, default=1023)

@@ -81,10 +81,19 @@ def shard_problem(mesh: Mesh, A: Stencil5, state: DistSweepState,
                   f_axis: int = 0):
     """Place the problem on the mesh: row-shard A/f/G/couplings, replicate
     the H_F factors.  `f_axis` is the grid-row axis of f_grid (1 for a
-    batched (B, L, n) right-hand side)."""
+    batched (B, L, n) right-hand side).
+
+    Complex leaves (the stencil fields, the RHS) are converted to
+    split-real CArray pairs BEFORE device placement: complex buffers may
+    not exist at rest on the TPU backend (core.complexlib) — shard_map
+    bodies complexify on entry."""
+    from ..core.complexlib import pairify
+
     shard_rows = lambda x: jax.device_put(
         x, row_sharding(mesh, x.ndim, axis_name))
     repl = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+    A = pairify(A)
+    f_grid = pairify(f_grid)
 
     A_sh = jax.tree.map(shard_rows, A)
     state_sh = DistSweepState(
@@ -95,7 +104,9 @@ def shard_problem(mesh: Mesh, A: Stencil5, state: DistSweepState,
         a_cs=jax.tree.map(shard_rows, state.a_cs),
         a_cn=jax.tree.map(shard_rows, state.a_cn),
         b=state.b, d2_replace=state.d2_replace)
+    f_ndim = (f_grid.re if isinstance(f_grid, CArray) else f_grid).ndim
     f_spec = P(*([None] * f_axis), axis_name,
-               *([None] * (f_grid.ndim - f_axis - 1)))
-    f_sh = jax.device_put(f_grid, NamedSharding(mesh, f_spec))
+               *([None] * (f_ndim - f_axis - 1)))
+    f_sh = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, f_spec)), f_grid)
     return A_sh, state_sh, f_sh

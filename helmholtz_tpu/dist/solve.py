@@ -16,11 +16,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..core.complexlib import complexify, pairify
 from ..core.sparse import Stencil5
 from ..solve.gmres import KrylovResult, gmres
 from .partition import LAYER_AXIS, DistSweepState, shard_problem
 from .spmv import halo_stencil_matvec
 from .sweep import dist_apply_preconditioner
+
+_SOLVE_CACHE: dict = {}
 
 
 def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
@@ -38,9 +41,10 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
     `precond.sweeping.batchable_operator`).
 
     Returns a KrylovResult whose `x` is the global (sharded) flat solution
-    (batch leading when batched).  Constraints: L % n_devices == 0 and
-    (with a preconditioner) b < L // n_devices, so the F band lives on
-    device 0.
+    as a split-real `CArray` pair (batch leading when batched) — complex
+    buffers cannot rest on the TPU backend; use `x.cplx` in flight or
+    `x.to_np()` on the host.  Constraints: L % n_devices == 0 and (with a
+    preconditioner) b < L // n_devices, so the F band lives on device 0.
     """
     L, n = A.cc.shape
     ndev = mesh.shape[axis_name]
@@ -57,7 +61,25 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
         mesh, A, state if use_precond else _empty_state(A), f_grid,
         axis_name, f_axis=1 if batched else 0)
 
-    def local_solve(A_loc, S_loc, f_loc):
+    # distributed_solve is a host-level entry point called repeatedly by
+    # benchmarks and sweeps — cache the jitted shard_map executable by its
+    # static configuration so repeat calls do not retrace/recompile
+    # (jax.jit keys on function identity, and local_solve is a fresh
+    # closure per call).
+    cache_key = (mesh, axis_name, L, n, ndev, use_precond, batched,
+                 f_grid.shape, str(f_grid.dtype), str(A.cc.dtype),
+                 state_sh.b, state_sh.d2_replace, restart, float(rtol),
+                 int(maxiter), sweep_impl)
+    cached = _SOLVE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached(A_sh, state_sh, f_sh)
+
+    def local_solve(A_pair, S_loc, f_pair):
+        # pairs at rest, complex in flight (core.complexlib): inputs arrive
+        # as split-real shards, outputs leave as split-real shards
+        A_loc = complexify(A_pair)
+        f_loc = complexify(f_pair)
+
         def matvec(v):
             return halo_stencil_matvec(
                 A_loc, v.reshape(n_loc, n), axis_name, ndev).reshape(-1)
@@ -101,8 +123,10 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
         solver = partial(gmres, matvec, M=M, restart=restart, rtol=rtol,
                          maxiter=maxiter, axis_name=axis_name)
         if batched:
-            return jax.vmap(lambda f: solver(f.reshape(-1)))(f_loc)
-        return solver(f_loc.reshape(-1))
+            res = jax.vmap(lambda f: solver(f.reshape(-1)))(f_loc)
+        else:
+            res = solver(f_loc.reshape(-1))
+        return pairify(res)
 
     row = P(axis_name) if not batched else P(None, axis_name)
     repl = P()
@@ -124,6 +148,7 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
 
     fn = jax.jit(jax.shard_map(local_solve, mesh=mesh, in_specs=in_specs,
                                out_specs=out_specs, check_vma=False))
+    _SOLVE_CACHE[cache_key] = fn
     return fn(A_sh, state_sh, f_sh)
 
 

@@ -14,8 +14,10 @@ fixup touching only the first and last local rows.  XLA lowers each
 `ppermute` to an async `collective-permute-start`/`-done` pair; because the
 interior compute consumes neither result, the latency-hiding scheduler
 hoists both starts before the interior fusion and sinks the dones after it,
-so the ICI transfer rides under the O(n_loc * n) interior work (verified by
-HLO inspection in tests/test_dist.py::test_halo_overlap_hlo_schedule).
+so the ICI transfer rides under the O(n_loc * n) interior work.  The
+issue-early/consume-late dataflow shape that enables this is pinned by
+tests/test_dist.py::test_halo_overlap_dataflow_schedule (a jaxpr-ordering
+check; the final schedule is the TPU compiler's).
 """
 from __future__ import annotations
 

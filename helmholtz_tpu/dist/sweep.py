@@ -53,14 +53,16 @@ from .partition import DistSweepState
 
 def _g_matvec(gre, gim, v):
     # v: (B, n) batch of rows.  (n, 2B) RHS: one read of gre and one of gim;
-    # HIGHEST precision so the bf16 MXU default does not degrade the sweep
-    # (precond.sweeping).  G may be lane-padded to (n_pad, n_pad).
+    # precision handling (f32 HIGHEST vs bf16-stored native) follows
+    # precond.sweeping._g_dot.  G may be lane-padded to (n_pad, n_pad).
+    from ..precond.sweeping import _g_dot
+
     B, n = v.shape
     V = jnp.concatenate([jnp.real(v).T, jnp.imag(v).T], axis=1)  # (n, 2B)
     if gre.shape[-1] > n:
         V = jnp.pad(V, ((0, gre.shape[-1] - n), (0, 0)))
-    RV = jnp.matmul(gre, V, precision=jax.lax.Precision.HIGHEST)
-    IV = jnp.matmul(gim, V, precision=jax.lax.Precision.HIGHEST)
+    RV = _g_dot(gre, V)
+    IV = _g_dot(gim, V)
     return jax.lax.complex(RV[:n, :B] - IV[:n, B:],
                            RV[:n, B:] + IV[:n, :B]).T
 

@@ -68,21 +68,26 @@ def _assemble_impl(wave_num, const, alpha, *, n, b, problem, fidelity,
     return pairify((A, hm, f_grid.astype(cdtype))), c_full
 
 
+_G_DTYPES = {"working": None, "f32": jnp.float32, "bf16": jnp.bfloat16}
+
+
 @partial(jax.jit, static_argnames=("b", "hf_full_coupling", "d2_replace",
-                                   "setup_chunk"))
+                                   "setup_chunk", "g_dtype"))
 def _factor_stage(A_pair, hm_pair, *, b, hf_full_coupling, d2_replace,
-                  setup_chunk):
+                  setup_chunk, g_dtype="working"):
     with jax.named_scope("factor"):
         return _factor_impl(A_pair, hm_pair, b=b,
                             hf_full_coupling=hf_full_coupling,
-                            d2_replace=d2_replace, setup_chunk=setup_chunk)
+                            d2_replace=d2_replace, setup_chunk=setup_chunk,
+                            g_dtype=g_dtype)
 
 
 def _factor_impl(A_pair, hm_pair, *, b, hf_full_coupling, d2_replace,
-                 setup_chunk):
+                 setup_chunk, g_dtype="working"):
     A, hm = complexify((A_pair, hm_pair))
     P = setup_preconditioner(A, hm, b, hf_full_coupling=hf_full_coupling,
-                             d2_replace=d2_replace, setup_chunk=setup_chunk)
+                             d2_replace=d2_replace, setup_chunk=setup_chunk,
+                             g_dtype=_G_DTYPES[g_dtype])
     return pairify(P)
 
 
@@ -190,6 +195,7 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
                precond_refine: int = 0,
                precision: str = "f32",
                inner_rtol: float = 1e-2,
+               g_dtype: str = "working",
                fidelity: str = "corrected",
                hf_full_coupling: bool = True,
                d2_replace: bool = True,
@@ -213,7 +219,7 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
         P_pair = _factor_stage(A_pair, hm_pair, b=b,
                                hf_full_coupling=hf_full_coupling,
                                d2_replace=d2_replace,
-                               setup_chunk=setup_chunk)
+                               setup_chunk=setup_chunk, g_dtype=g_dtype)
     elif precond == "exact":
         P_pair = _factor_exact_stage(A_pair, b=b)
     elif precond == "none":
@@ -257,7 +263,7 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
                     problem=problem, rtol=rtol, restart=restart,
                     method=method, precond=precond, fidelity=fidelity,
                     precond_refine=precond_refine, precision=precision,
-                    dtype=str(np.dtype(cdtype))),
+                    g_dtype=g_dtype, dtype=str(np.dtype(cdtype))),
     )
     if plot_solution:
         from . import viz
@@ -296,8 +302,33 @@ def _msolve_stage(A_pair, P_pair, F_pair, rtol, *, restart, maxiter,
     A, F = complexify((A_pair, F_pair))
     K = F.shape[0]
     M = batchable_operator(P_pair)
-    res = solve_multi_rhs(lambda v: stencil_matvec_flat(A, v),
-                          F.reshape(K, -1), M=M, method=method,
+    if jax.default_backend() == "tpu":
+        # fused Pallas stencil SpMV (same dispatch as _solve_stage; the
+        # XLA shift-and-add path costs ~6 ms/product at n=1023) — routed
+        # under the solver's vmap through a custom rule that maps the
+        # kernel over the batch (pallas_call has no native batching rule)
+        from .core.complexlib import CArray
+        from .ops.pallas.spmv_stencil import pallas_stencil_matvec
+        L, n = A_pair.grid_shape
+        a_leaves, a_tree = jax.tree.flatten(A_pair)
+
+        def mv_one(v, leaves):
+            Ap = jax.tree.unflatten(a_tree, leaves)
+            u = CArray.of(v.reshape(L, n))
+            return pallas_stencil_matvec(Ap, u).cplx.reshape(-1)
+
+        @jax.custom_batching.custom_vmap
+        def mv_impl(v, *leaves):
+            return mv_one(v, leaves)
+
+        @mv_impl.def_vmap
+        def _mv_rule(axis_size, in_batched, vs, *leaves):
+            return jax.lax.map(lambda v: mv_one(v, leaves), vs), True
+
+        matvec = lambda v: mv_impl(v, *a_leaves)
+    else:
+        matvec = lambda v: stencil_matvec_flat(A, v)
+    res = solve_multi_rhs(matvec, F.reshape(K, -1), M=M, method=method,
                           restart=restart, rtol=rtol, maxiter=maxiter)
     return pairify(res)
 
@@ -310,6 +341,7 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
                    maxiter: int = 200,
                    fidelity: str = "corrected",
                    setup_chunk: int = 128,
+                   g_dtype: str = "working",
                    complex_dtype=None) -> list:
     """Multi-frequency, multi-source sweep — BASELINE config 5 end-to-end.
 
@@ -331,6 +363,11 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
     wf = jnp.result_type(float)
     if consts is None:
         consts = [100.0] * len(wave_nums)
+    elif len(consts) == 1:
+        consts = list(consts) * len(wave_nums)
+    if len(consts) != len(wave_nums):
+        raise ValueError(f"{len(consts)} consts for {len(wave_nums)} "
+                         "frequencies (zip would silently drop the rest)")
     r1s = jnp.linspace(0.2, 0.8, n_sources).astype(wf)
     r2s = jnp.full((n_sources,), source_y, wf)
 
@@ -349,7 +386,8 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
                                 r1s, r2s, n=n, problem=problem,
                                 cdtype=cdtype)
         P_pair = _factor_stage(A_pair, hm_pair, b=b, hf_full_coupling=True,
-                               d2_replace=True, setup_chunk=setup_chunk)
+                               d2_replace=True, setup_chunk=setup_chunk,
+                               g_dtype=g_dtype)
         _host_sync(P_pair)
         t1 = time.perf_counter()
         res_pair = _msolve_stage(A_pair, P_pair, F_pair,
@@ -367,7 +405,7 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
             / np.linalg.norm(F_np[k].ravel())) for k in range(n_sources)]
         records.append({
             "n": n, "b": b, "wave_num": float(wn), "const": float(C),
-            "n_sources": n_sources, "rtol": rtol,
+            "problem": problem, "n_sources": n_sources, "rtol": rtol,
             "iterations": np.asarray(res_pair.iterations).tolist(),
             "converged": np.asarray(res_pair.converged).tolist(),
             "true_residuals": true_res,

@@ -70,15 +70,31 @@ def _kernel(gre, gim, u2, c2, carry0, out2, carry, rhs, w, *,
                 rhs[0] = uu[0] + pr
                 rhs[1] = uu[1] + pi
 
+    lowp = gre.dtype != rhs.dtype      # reduced-precision stored G (bf16)
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        # f32 G: HIGHEST (implicit bf16 MXU rounding degrades the sweep);
+        # bf16-stored G: native MXU bf16 x bf16 -> f32 accumulation
+        precision=None if lowp else jax.lax.Precision.HIGHEST,
         preferred_element_type=rhs.dtype,
     )
     flat = rhs[...].reshape(2 * nrhs, n_pad)
-    A2 = dot(flat, gre[0]).reshape(2, nrhs, br)   # [Gre@vr, Gre@vi] planes
-    B2 = dot(flat, gim[0]).reshape(2, nrhs, br)
+    if lowp:
+        # hi+lo bf16 split of the carry rows: ~f32-accurate product while
+        # the G panel (the HBM traffic) is still read once
+        # (precond.sweeping._g_dot has the XLA-path analog)
+        fhi = flat.astype(gre.dtype)
+        flo = (flat - fhi.astype(flat.dtype)).astype(gre.dtype)
+        flat = jnp.concatenate([fhi, flo], axis=0)     # (4R, n_pad)
+
+        def dot2(x, gpanel):
+            out = dot(x, gpanel)                       # (4R, br) f32
+            return out[:2 * nrhs] + out[2 * nrhs:]
+    else:
+        dot2 = dot
+    A2 = dot2(flat, gre[0]).reshape(2, nrhs, br)  # [Gre@vr, Gre@vi] planes
+    B2 = dot2(flat, gim[0]).reshape(2, nrhs, br)
     w[0, :, pl.ds(r * br, br)] = A2[0] - B2[1]
     w[1, :, pl.ds(r * br, br)] = A2[1] + B2[0]
 

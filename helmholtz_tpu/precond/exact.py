@@ -93,7 +93,7 @@ def rebuild_via_spgemm(A: Stencil5, F: ExactFactorization):
     (BASELINE north star "driven through ... SpGEMM").
     """
     from ..ops.dense import batched_inverse
-    from ..ops.sparse_algebra import bsr_spgemm, stencil_to_bsr
+    from ..ops.sparse_algebra import bsr_spgemm
 
     T = F.T.cplx
     cs, cn = F.cs.cplx, F.cn.cplx

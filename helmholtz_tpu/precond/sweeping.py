@@ -47,6 +47,25 @@ from ..fd import stencil as fd_stencil
 from ..ops.dense import batched_inverse
 
 
+def _g_dot(g, V):
+    """G-panel contraction handling reduced-precision G storage: f32 G runs
+    at HIGHEST precision (the bf16 MXU default degrades the sweep); bf16 G
+    runs natively on the MXU with f32 accumulation.  The RHS keeps ~f32
+    accuracy through a hi+lo bf16 split (G @ V = G @ V_hi + G @ V_lo as ONE
+    contraction over doubled columns — G, the HBM-traffic giant, is still
+    read once): rounding the carry vector to a single bf16 costs +2 GMRES
+    iterations at n=1023 (measured), the split costs none."""
+    if g.dtype == V.dtype:
+        return jnp.matmul(g, V, precision=jax.lax.Precision.HIGHEST)
+    cols = V.shape[-1]
+    V_hi = V.astype(g.dtype)
+    V_lo = (V - V_hi.astype(V.dtype)).astype(g.dtype)
+    out = jax.lax.dot_general(g, jnp.concatenate([V_hi, V_lo], axis=-1),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=V.dtype)
+    return out[..., :cols] + out[..., cols:]
+
+
 def _dense_tridiag(cw, cc, ce):
     """Dense (..., n, n) from per-layer tridiagonal fields (..., n).
 
@@ -197,7 +216,8 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
                          hf_full_coupling: bool = True,
                          d2_replace: bool = True,
                          setup_chunk: int = 128,
-                         pad_lanes: bool | None = None) -> SweepingPreconditioner:
+                         pad_lanes: bool | None = None,
+                         g_dtype=None) -> SweepingPreconditioner:
     """Algorithm 2.3 analog: factor H_F and every H_m (code.py:345-353).
 
     `hm` is the batched subgrid family from `fd.stencil.build_hm_stencils`
@@ -211,17 +231,28 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
     lane exactly zero through the whole recursion, so neither the kernel nor
     the XLA fallback needs masking.  Cost: (n_pad/n)^2 - 1 extra G memory
     (~0.2% at n=1023).
+
+    `g_dtype` (default: the working float) is the STORAGE dtype of the G
+    stack.  `jnp.bfloat16` halves the factor memory and the apply's HBM
+    traffic (the sweep's dominant term) at an ~8-bit-mantissa G; the
+    moving-PML approximation error dominates far earlier, so iteration
+    counts are unchanged at the reference scales (measured n=511: 3/2/2
+    iterations at refine 0/1/2 for both f32 and bf16 G).  The Schur
+    recursion itself always runs at the working precision — only storage
+    is rounded.
     """
     M, _, n = hm.cc.shape
     if pad_lanes is None:
         pad_lanes = jax.default_backend() == "tpu"
     n_pad = (-(-n // 128) * 128) if pad_lanes else n
+    g_dtype = g_dtype or hm.cc.real.dtype
     # bound peak setup memory: a few (chunk, n, n) complex buffers live
     # inside the batched inverse, so scale the chunk down with the grid.
     setup_chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
 
     def pad_g(x):
-        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+        return jnp.pad(x, ((0, 0), (0, n_pad - n),
+                           (0, n_pad - n))).astype(g_dtype)
 
     if M <= setup_chunk:
         T = _schur_corner_inverse(hm)
@@ -234,7 +265,6 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
         # n=1023, where G alone is ~8.5 GB).  Padding happens per chunk for
         # the same reason: padding the assembled stack would transiently
         # double it.
-        rdtype = hm.cc.real.dtype
         n_chunks = -(-M // setup_chunk)
 
         def body(i, bufs):
@@ -254,8 +284,8 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
 
         G_re, G_im = jax.lax.fori_loop(
             0, n_chunks, body,
-            (jnp.zeros((M, n_pad, n_pad), rdtype),
-             jnp.zeros((M, n_pad, n_pad), rdtype)))
+            (jnp.zeros((M, n_pad, n_pad), g_dtype),
+             jnp.zeros((M, n_pad, n_pad), g_dtype)))
         G = CArray(G_re, G_im)
 
     HF = fd_stencil.extract_hf_stencil(A, b, full_coupling=hf_full_coupling)
@@ -306,15 +336,19 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
     u = f
 
     def g_matvec(gre, gim, v):
-        # (n, 2) RHS: one read of gre and one of gim per step.  Precision is
-        # pinned to HIGHEST: at the MXU default (bf16 inputs) the rounded G
-        # degrades the preconditioner from 5 to 7 GMRES iterations at n=1023
-        # — the apply is HBM-bound, so the extra passes are nearly free.
+        # (n, 2) RHS: one read of gre and one of gim per step.  For f32 G
+        # precision is pinned to HIGHEST: the *implicit* bf16 MXU rounding
+        # of an f32 G degrades the preconditioner from 5 to 7 GMRES
+        # iterations at n=1023 — the apply is HBM-bound, so the extra
+        # passes are nearly free.  (Explicit bf16-STORED G keeps iteration
+        # counts — see setup_preconditioner g_dtype — because the stored
+        # rounding is one-time, not per-product re-rounding of the carry
+        # chain inputs at every step of the Schur recursion.)
         V = jnp.stack([jnp.real(v), jnp.imag(v)], axis=-1)
         if n_pad > n:
             V = jnp.pad(V, ((0, n_pad - n), (0, 0)))
-        RV = jnp.matmul(gre, V, precision=jax.lax.Precision.HIGHEST)
-        IV = jnp.matmul(gim, V, precision=jax.lax.Precision.HIGHEST)
+        RV = _g_dot(gre, V)
+        IV = _g_dot(gim, V)
         return jax.lax.complex(RV[:n, 0] - IV[:n, 1], RV[:n, 1] + IV[:n, 0])
 
     # H_F solve + first correction: u_b -= A_{b+1,F} T_F u_F (code.py:364-365)

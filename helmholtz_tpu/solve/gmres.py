@@ -72,10 +72,15 @@ def gmres(matvec: Callable, b: jax.Array, *,
           rtol: float = 1e-3,
           atol: float = 0.0,
           maxiter: int = 1000,
+          iter_cap=None,
           axis_name: Optional[str] = None) -> KrylovResult:
     """Left-preconditioned restarted GMRES. `matvec`/`M` map (N,) -> (N,).
 
     Fully jittable: restart/maxiter are static, everything else traced.
+    `iter_cap` (optional, may be traced) caps total inner iterations below
+    the static maxiter — the enforcement handle for callers with a shared
+    budget (solve.ir.ir_gmres); the inner loop also respects it, so the
+    count never exceeds the cap.
 
     With `axis_name` set, the solver runs SPMD inside `shard_map`: `b`/`x`
     are the locally-owned vector rows and every inner product / norm is
@@ -105,12 +110,16 @@ def gmres(matvec: Callable, b: jax.Array, *,
     tol = jnp.maximum(rtol * bnorm, atol).astype(rdtype)
     n_outer = -(-maxiter // restart)
     hist_len = n_outer * restart
-
-    def inner_cond(state):
-        j, _, _, _, _, _, _, res, brk = state
-        return (j < restart) & (res > tol) & (~brk)
+    cap = (jnp.asarray(maxiter) if iter_cap is None
+           else jnp.minimum(maxiter, iter_cap))
 
     hi = jax.lax.Precision.HIGHEST  # MXU bf16 default breaks Arnoldi in fp32
+
+    def inner_cond_of(j_limit):
+        def inner_cond(state):
+            j, _, _, _, _, _, _, res, brk = state
+            return (j < j_limit) & (res > tol) & (~brk)
+        return inner_cond
 
     def inner_step(state):
         j, V, H, cs, sn, g, _, _, brk = state
@@ -147,7 +156,7 @@ def gmres(matvec: Callable, b: jax.Array, *,
 
     def outer_cond(state):
         _, _, _, iters, done, _, _ = state
-        return (~done) & (iters < maxiter)
+        return (~done) & (iters < cap)
 
     def outer_step(state):
         # r / beta are the preconditioned residual of x, carried in from the
@@ -155,6 +164,7 @@ def gmres(matvec: Callable, b: jax.Array, *,
         # here would cost an extra matvec + preconditioner application per
         # restart cycle, and the apply is this workload's dominant kernel.
         x, r, beta, iters, _, stalled, history = state
+        j_limit = jnp.minimum(restart, cap - iters)  # shared-budget cap
         safe_beta = jnp.where(beta > 0, beta, 1.0)
 
         V = jnp.zeros((restart + 1, N), dtype).at[0].set(r / safe_beta)
@@ -165,7 +175,7 @@ def gmres(matvec: Callable, b: jax.Array, *,
 
         init = (0, V, H, cs, sn, g, 0, beta, beta == 0.0)
         j, V, H, cs, sn, g, k, res, brk = jax.lax.while_loop(
-            inner_cond, inner_step, init)
+            inner_cond_of(j_limit), inner_step, init)
 
         # record the per-iteration residual history from the Givens recurrence
         step_hist = jnp.where(

@@ -82,8 +82,11 @@ def ir_gmres(matvec: Callable, residual_comp: Callable, b: jax.Array, *,
 
     def body(state):
         x, r, k, iters, res_prev, done, stalled, history = state
+        # iter_cap: the inner cycle spends only the REMAINING global budget,
+        # so total reported iterations never exceed maxiter
         inner = gmres(matvec, r, M=M, restart=restart, rtol=inner_rtol,
-                      atol=0.0, maxiter=maxiter, axis_name=axis_name)
+                      atol=0.0, maxiter=maxiter, iter_cap=maxiter - iters,
+                      axis_name=axis_name)
         x = x.add(inner.x)
         history = jax.lax.dynamic_update_slice(history, inner.history,
                                                (iters,))

@@ -99,7 +99,15 @@ def resumable_gmres(matvec: Callable, b, *, M: Optional[Callable] = None,
 
 
 class SweepCheckpoint:
-    """Per-frequency progress record for multi-frequency sweeps."""
+    """Per-frequency progress record for multi-frequency sweeps.
+
+    Records key on the FULL solve configuration (grid, PML width, problem,
+    frequency, C, tolerance, batch size) — a resumed sweep with a changed
+    rtol / source count / problem re-solves instead of silently replaying a
+    stale record, and records from other configs sharing the file are
+    ignored via `matching`."""
+
+    _KEY = ("n", "b", "problem", "wave_num", "const", "rtol", "n_sources")
 
     def __init__(self, path: str):
         self.path = path
@@ -108,8 +116,18 @@ class SweepCheckpoint:
             with open(path) as fh:
                 self.records = [json.loads(l) for l in fh if l.strip()]
 
+    @classmethod
+    def key_of(cls, record: dict) -> tuple:
+        return tuple(record.get(k) for k in cls._KEY)
+
     def done_keys(self) -> set:
-        return {(r["n"], r["wave_num"]) for r in self.records}
+        return {self.key_of(r) for r in self.records}
+
+    def matching(self, template: dict) -> list:
+        """Records whose non-frequency config matches `template`."""
+        fixed = [k for k in self._KEY if k not in ("wave_num", "const")]
+        return [r for r in self.records
+                if all(r.get(k) == template.get(k) for k in fixed)]
 
     def add(self, record: dict):
         self.records.append(record)

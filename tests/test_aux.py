@@ -130,10 +130,18 @@ def test_sweep_checkpoint_records_and_skips(tmp_path):
     path = str(tmp_path / "sweep.jsonl")
     ck = SweepCheckpoint(path)
     assert ck.done_keys() == set()
-    ck.add({"n": 63, "wave_num": 8.0, "converged": [True]})
+    rec = {"n": 63, "b": 12, "problem": "c1_f1", "wave_num": 8.0,
+           "const": 61.0, "rtol": 1e-3, "n_sources": 2,
+           "converged": [True]}
+    ck.add(rec)
     ck2 = SweepCheckpoint(path)       # fresh process
-    assert ck2.done_keys() == {(63, 8.0)}
+    assert ck2.done_keys() == {SweepCheckpoint.key_of(rec)}
     assert ck2.records[0]["converged"] == [True]
+    # a changed config must NOT match (stale-record guard)
+    assert SweepCheckpoint.key_of({**rec, "rtol": 1e-6}) \
+        not in ck2.done_keys()
+    assert ck2.matching({**rec, "n_sources": 8}) == []
+    assert len(ck2.matching(rec)) == 1
 
 
 def test_multisolve_driver_batched_sources():
