@@ -152,3 +152,19 @@ def test_run_solver_exact_precond():
     assert r.converged
     assert r.iterations <= 2
     assert r.true_residual < 1e-6
+
+
+@pytest.mark.parametrize("problem,C,expected_max", [
+    ("c1_f1", 61.0, 8), ("c1_f2", 61.0, 8),
+    ("c2_f1", 61.0, 8), ("c2_f2", 61.0, 8),
+])
+def test_all_four_problem_instances_solve(problem, C, expected_max):
+    """End-to-end preconditioned convergence for every canonical problem
+    instance (PDF p.2: velocity c1/c2 x forcing f1/f2; code.py:390-408) —
+    the reference's four experiment families, at oracle size."""
+    from helmholtz_tpu.driver import run_solver
+
+    r = run_solver(63, 12, 8.0, C, problem=problem, rtol=1e-3, maxiter=60)
+    assert r.converged, (problem, r.iterations, r.residual_norm)
+    assert r.iterations <= expected_max
+    assert r.true_residual < 5e-2    # legacy preconditioned-tol semantics
