@@ -51,22 +51,45 @@ def _sync(tree):
             return
 
 
+
+def _two_point(run_k, iters, reps):
+    """Per-iteration seconds via two-point measurement: time k and 5k
+    inner iterations and divide the difference — the fixed per-call cost
+    (remote dispatch + host-fetch round trip, ~30-70 ms through the
+    tunnel) cancels, exactly like bench.roofline._timed_loop.  run_k(k)
+    must execute k iterations on device; this helper syncs."""
+    run_k(jnp.asarray(iters))                 # compile + warm
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_k(jnp.asarray(iters))
+        t1 = time.perf_counter()
+        run_k(jnp.asarray(5 * iters))
+        t2 = time.perf_counter()
+        diffs.append(max((t2 - t1) - (t1 - t0), 1e-9) / (4 * iters))
+    return float(np.median(diffs))
+
 def _build(n, b, wave_num, const):
-    from .. import HelmholtzConfig, assemble_problem
+    """Assemble + factor through the driver's jitted pair-typed stages —
+    NOT the eager path: on the TPU backend every executable input/output
+    must be split-real (complex buffers poison the whole downstream chain
+    with async UNIMPLEMENTED errors that only surface at the next fetch —
+    found the hard way)."""
     from ..dist import dist_state_from_preconditioner
-    from ..driver import default_complex_dtype
-    from ..fd import stencil
-    from ..precond import setup_preconditioner
+    from ..driver import _assemble_stage, _factor_stage, default_complex_dtype
 
     cdtype = default_complex_dtype()          # complex64 on TPU
-    cfg = HelmholtzConfig(n=n, b=b, wave_num=wave_num, const=const)
-    prob = assemble_problem(cfg, "c1_f1", complex_dtype=cdtype)
-    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
-                                   cfg.omega, cfg.h, prob.c_full,
-                                   fidelity=cfg.fidelity,
-                                   complex_dtype=cdtype)
-    P_ = setup_preconditioner(prob.A, hm, cfg.b)
-    return cfg, prob, P_, dist_state_from_preconditioner(P_)
+    wf = jnp.result_type(float)
+    (A_pair, hm_pair, f_pair), _ = _assemble_stage(
+        jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
+        jnp.asarray(2.0, wf), n=n, b=b, problem="c1_f1",
+        fidelity="corrected", cdtype=cdtype)
+    P_pair = _factor_stage(A_pair, hm_pair, b=b, hf_full_coupling=True,
+                           d2_replace=True, setup_chunk=128)
+    state = dist_state_from_preconditioner(P_pair)
+    from ..core.complexlib import CArray
+    f_grid_pair = CArray(f_pair.re.reshape(n, n), f_pair.im.reshape(n, n))
+    return A_pair, f_grid_pair, P_pair, state
 
 
 def measure_dist_solve(n, b, ndev, *, wave_num=2.0, const=20.0,
@@ -74,11 +97,11 @@ def measure_dist_solve(n, b, ndev, *, wave_num=2.0, const=20.0,
     """Distributed preconditioned GMRES wall time on an ndev-device mesh."""
     from ..dist import distributed_solve, make_mesh
 
-    cfg, prob, P_, state = _build(n, b, wave_num, const)
+    A_pair, f_pair, P_pair, state = _build(n, b, wave_num, const)
     mesh = make_mesh(ndev)
 
     def run():
-        res = distributed_solve(mesh, prob.A, state, prob.f_grid,
+        res = distributed_solve(mesh, A_pair, state, f_pair,
                                 rtol=rtol, maxiter=maxiter)
         _sync(res.x)
         return res
@@ -89,7 +112,7 @@ def measure_dist_solve(n, b, ndev, *, wave_num=2.0, const=20.0,
         t0 = time.perf_counter()
         res = run()
         times.append(time.perf_counter() - t0)
-    L = cfg.n
+    L = n
     n_pad = state.G_pad.re.shape[-1]
     itemsize = np.dtype(state.G_pad.re.dtype).itemsize
     work_per_dev_gb = (2 * (L / ndev) * n_pad * n_pad * itemsize) / 1e9
@@ -112,10 +135,10 @@ def measure_dist_apply(n, b, ndev, *, wave_num=2.0, const=20.0,
     from ..dist.partition import LAYER_AXIS, DistSweepState, shard_problem
     from ..dist.sweep import dist_apply_preconditioner
 
-    cfg, prob, P_, state = _build(n, b, wave_num, const)
+    A_pair, f_pair, P_pair, state = _build(n, b, wave_num, const)
     mesh = make_mesh(ndev)
-    A_sh, state_sh, f_sh = shard_problem(mesh, prob.A, state, prob.f_grid)
-    L = cfg.n
+    A_sh, state_sh, f_sh = shard_problem(mesh, A_pair, state, f_pair)
+    L = n
     n_loc = L // ndev
 
     row, repl = P(LAYER_AXIS), P()
@@ -130,7 +153,7 @@ def measure_dist_apply(n, b, ndev, *, wave_num=2.0, const=20.0,
             b=state_sh.b, d2_replace=state_sh.d2_replace),
         row)
 
-    def local(S_loc, f_pair):
+    def local(S_loc, f_pair, k):
         # pairs at rest (shard_problem), complex in flight
         from ..core.complexlib import CArray, complexify
 
@@ -139,22 +162,20 @@ def measure_dist_apply(n, b, ndev, *, wave_num=2.0, const=20.0,
                 S_loc, u, axis_name=LAYER_AXIS, n_devices=ndev,
                 n_rows_global=L)
             return v * (1.0 / (1.0 + 1e-6))
-        out = jax.lax.fori_loop(0, inner_iters, body, complexify(f_pair))
+        out = jax.lax.fori_loop(0, k[0], body, complexify(f_pair))
         return CArray(jnp.real(out), jnp.imag(out))
 
-    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+    fn = jax.jit(jax.shard_map(local, mesh=mesh,
+                               in_specs=(*in_specs, repl),
                                out_specs=row, check_vma=False))
-    out = fn(state_sh, f_sh)
-    _sync(out)                        # compile
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(state_sh, f_sh)
+
+    def run_k(k):
+        out = fn(state_sh, f_sh, jnp.asarray([k]).astype(jnp.int32))
         _sync(out)
-        times.append(time.perf_counter() - t0)
+
     return {
         "n": n, "b": b, "n_devices": ndev,
-        "s_per_apply": float(np.median(times)) / inner_iters,
+        "s_per_apply": _two_point(run_k, inner_iters, reps),
     }
 
 
@@ -213,28 +234,26 @@ def measure_weak_apply(ndev, *, n=64, rows_per_dev=8, reps=3,
         a_cn=jax.tree.map(lambda _: row, state.a_cn),
         b=b, d2_replace=True), row)
 
-    def local(S_loc, f_pair):
+    def local(S_loc, f_pair, k):
         def body(_, u):
             v = dist_apply_preconditioner(
                 S_loc, u, axis_name=LAYER_AXIS, n_devices=ndev,
                 n_rows_global=L)
             return v * (1.0 / (1.0 + 1e-6))
-        out = jax.lax.fori_loop(0, inner_iters, body, f_pair.cplx)
+        out = jax.lax.fori_loop(0, k[0], body, f_pair.cplx)
         return CArray(jnp.real(out), jnp.imag(out))
 
-    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+    fn = jax.jit(jax.shard_map(local, mesh=mesh,
+                               in_specs=(*in_specs, repl),
                                out_specs=row, check_vma=False))
     f_sh = jax.tree.map(shard_rows, f)
-    out = fn(state_sh, f_sh)
-    _sync(out)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(state_sh, f_sh)
+
+    def run_k(k):
+        out = fn(state_sh, f_sh, jnp.asarray([k]).astype(jnp.int32))
         _sync(out)
-        times.append(time.perf_counter() - t0)
+
     return {"n": n, "rows_per_device": rows_per_dev, "n_devices": ndev,
-            "s_per_apply": float(np.median(times)) / inner_iters}
+            "s_per_apply": _two_point(run_k, inner_iters, reps)}
 
 
 def measure_halo_fraction(n, ndev, *, inner_iters=50, reps=3) -> dict:
@@ -243,24 +262,18 @@ def measure_halo_fraction(n, ndev, *, inner_iters=50, reps=3) -> dict:
     the difference is the (un-overlapped remainder of the) ppermute cost."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from .. import HelmholtzConfig, assemble_problem
+    from ..core.complexlib import CArray, complexify
     from ..dist import make_mesh
     from ..dist.partition import LAYER_AXIS
     from ..dist.spmv import halo_stencil_matvec
-    from ..driver import default_complex_dtype
     from ..ops.spmv import stencil_matvec
 
-    from ..core.complexlib import CArray, complexify, pairify
-
-    cfg = HelmholtzConfig(n=n, b=3, wave_num=2.0, const=20.0)
-    prob = assemble_problem(cfg, "c1_f1",
-                            complex_dtype=default_complex_dtype())
+    A_pair, f_pair, _, _ = _build(n, 3, 2.0, 20.0)
     mesh = make_mesh(ndev)
     shard = lambda x: jax.device_put(x, NamedSharding(mesh, P(
         LAYER_AXIS, *([None] * (x.ndim - 1)))))
-    A_pair = pairify(prob.A)
     A_sh = jax.tree.map(shard, A_pair)
-    f_sh = jax.tree.map(shard, pairify(prob.f_grid))
+    f_sh = jax.tree.map(shard, f_pair)
     specs = (jax.tree.map(lambda _: P(LAYER_AXIS), A_sh), P(LAYER_AXIS))
 
     def timed(local_fn):

@@ -55,7 +55,9 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
     if use_precond and state.b >= n_loc:
         raise ValueError(
             f"PML width b={state.b} must be < rows-per-device {n_loc}")
-    batched = f_grid.ndim == 3
+    from ..core.complexlib import CArray
+    f_leaf = f_grid.re if isinstance(f_grid, CArray) else f_grid
+    batched = f_leaf.ndim == 3
 
     A_sh, state_sh, f_sh = shard_problem(
         mesh, A, state if use_precond else _empty_state(A), f_grid,
