@@ -47,6 +47,52 @@ def _sample_velocity(c_full, i, j, fidelity):
     raise ValueError(f"unknown fidelity {fidelity!r}")
 
 
+def build_a_stencil_rows(rows, n, b, const, eta, omega, h, c_full, *,
+                         fidelity="as-shipped",
+                         complex_dtype=jnp.complex128) -> Stencil5:
+    """Assemble the band of the global operator A covering the grid rows
+    `rows` (0-based global row indices, any shape-(L_loc,) array — traced
+    values are fine, all shapes are static).
+
+    This is the unit of distributed assembly (dist.factor): a device that
+    knows only its row indices, the replicated (n+2, n+2) velocity field,
+    and the scalar parameters materializes its A shard with zero
+    communication.  `build_a_stencil` is the rows=arange(n) special case.
+    """
+    cd = complex_dtype
+    rows = jnp.asarray(rows)
+    i = jnp.arange(1, n + 1)                      # in-layer (x1), 1-based
+    j = (rows + 1)[:, None]                       # layer (x2), 1-based
+    inv_h2 = 1.0 / (h * h)
+
+    s1_m = pml.s1((i - 0.5) * h, const, eta, omega, cd)   # (n,)
+    s1_p = pml.s1((i + 0.5) * h, const, eta, omega, cd)
+    s1_c = pml.s1(i * h, const, eta, omega, cd)
+    s2_m = pml.s2((j - 0.5) * h, const, eta, omega, cd)   # (L_loc, 1)
+    s2_p = pml.s2((j + 0.5) * h, const, eta, omega, cd)
+    s2_c = pml.s2(j * h, const, eta, omega, cd)
+
+    L_loc = rows.shape[0]
+    cw = jnp.broadcast_to(inv_h2 * (s1_m / s2_c), (L_loc, n))
+    ce = jnp.broadcast_to(inv_h2 * (s1_p / s2_c), (L_loc, n))
+    cs = jnp.broadcast_to(inv_h2 * (s2_m / s1_c), (L_loc, n))
+    cn = jnp.broadcast_to(inv_h2 * (s2_p / s1_c), (L_loc, n))
+
+    omega_c = jnp.asarray(omega, cd)
+    cvel = _sample_velocity(jnp.asarray(c_full), i[None, :], j, fidelity)
+    cc = omega_c**2 / (s1_c[None, :] * s2_c * cvel.astype(cd) ** 2) \
+        - (cw + ce + cs + cn)
+
+    # Dirichlet masking: zero couplings that leave the grid.  Row masks are
+    # data-dependent on the global row index (where-masks, not .at[] — the
+    # band may sit anywhere in the grid).
+    cw = cw.at[:, 0].set(0)
+    ce = ce.at[:, -1].set(0)
+    cs = jnp.where((rows == 0)[:, None], 0, cs)
+    cn = jnp.where((rows == n - 1)[:, None], 0, cn)
+    return Stencil5(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn)
+
+
 def build_a_stencil(n, b, const, eta, omega, h, c_full, *,
                     fidelity="as-shipped",
                     complex_dtype=jnp.complex128) -> Stencil5:
@@ -55,34 +101,9 @@ def build_a_stencil(n, b, const, eta, omega, h, c_full, *,
 
     A is complex-symmetric, 5-diagonal (offsets 0, +-1, +-n), nnz = 5n^2-4n.
     """
-    cd = complex_dtype
-    i = jnp.arange(1, n + 1)                      # in-layer (x1), 1-based
-    j = jnp.arange(1, n + 1)[:, None]             # layer (x2), 1-based
-    inv_h2 = 1.0 / (h * h)
-
-    s1_m = pml.s1((i - 0.5) * h, const, eta, omega, cd)   # (n,)
-    s1_p = pml.s1((i + 0.5) * h, const, eta, omega, cd)
-    s1_c = pml.s1(i * h, const, eta, omega, cd)
-    s2_m = pml.s2((j - 0.5) * h, const, eta, omega, cd)   # (n, 1)
-    s2_p = pml.s2((j + 0.5) * h, const, eta, omega, cd)
-    s2_c = pml.s2(j * h, const, eta, omega, cd)
-
-    cw = inv_h2 * (s1_m / s2_c)               # (n, n): [layer, in-layer]
-    ce = inv_h2 * (s1_p / s2_c)
-    cs = inv_h2 * (s2_m / s1_c)
-    cn = inv_h2 * (s2_p / s1_c)
-
-    omega_c = jnp.asarray(omega, cd)
-    cvel = _sample_velocity(jnp.asarray(c_full), i[None, :], j, fidelity)
-    cc = omega_c**2 / (s1_c[None, :] * s2_c * cvel.astype(cd) ** 2) \
-        - (cw + ce + cs + cn)
-
-    # Dirichlet masking: zero couplings that leave the grid.
-    cw = cw.at[:, 0].set(0)
-    ce = ce.at[:, -1].set(0)
-    cs = cs.at[0, :].set(0)
-    cn = cn.at[-1, :].set(0)
-    return Stencil5(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn)
+    return build_a_stencil_rows(jnp.arange(n), n, b, const, eta, omega, h,
+                                c_full, fidelity=fidelity,
+                                complex_dtype=complex_dtype)
 
 
 def build_a_stencil9(n, b, const, eta, omega, h, c_full, *,
@@ -156,28 +177,32 @@ def build_a_stencil9(n, b, const, eta, omega, h, c_full, *,
                     csw=csw, cse=cse, cnw=cnw, cne=cne)
 
 
-def build_hm_stencils(n, b, const, eta, omega, h, c_full, *,
-                      fidelity="as-shipped",
-                      complex_dtype=jnp.complex128) -> Stencil5:
-    """Assemble the whole moving-PML subgrid family {H_m : m = b+1..n} in one
-    shot as a batched Stencil5 with fields of shape (M, b, n), M = n-b.
+def build_hm_stencils_rows(rows, n, b, const, eta, omega, h, c_full, *,
+                           fidelity="as-shipped",
+                           complex_dtype=jnp.complex128) -> Stencil5:
+    """Assemble the moving-PML subgrid family ROW-ALIGNED: entry k is the
+    H_m whose corner inverse acts on global grid row rows[k] (0-based),
+    i.e. m = rows[k] + 1 (1-based subgrid top).  Fields (L_loc, b, n).
 
-    Vectorized equivalent of the reference's per-m `get_Hm` loop
-    (code.py:223-290, 349-352).  Key structural fact (SURVEY.md pml.s2m
-    docstring): the moved stretching s2m(j*h) = s2(l*h) depends only on the
-    *local* layer index l = j-(m-b) in 1..b, so the s2 factors are shared by
-    every m; only the velocity samples vary with m.
+    For F-band rows (rows[k] < b) there is no subgrid; m is clamped to b+1
+    so the entry is a valid (factorable) matrix — callers zero the
+    corresponding corner inverses (dist.factor does; the G_pad convention
+    of dist.partition keeps F rows zero).
 
-    Batch index mi corresponds to m = b+1+mi; subgrid layers are the global
-    layers j = m-b+1..m; the subgrid boundary is Dirichlet on all sides
-    (coupling masks at l=1 and l=b; the layer-wraparound zeroing of the
-    reference, code.py:277-278, is automatic in the per-layer representation).
+    This is the unit of DISTRIBUTED factorization: the assembly needs only
+    the replicated velocity field and scalars, so each device builds and
+    factors its own band of the H_m family with zero communication — the
+    reference's n-b factorizations are embarrassingly parallel
+    (code.py:349-352, SURVEY.md section 3.3), and this realizes that across
+    the mesh so setup memory scales with devices.
     """
     cd = complex_dtype
-    M = n - b
+    rows = jnp.asarray(rows)
+    M = rows.shape[0]
     i = jnp.arange(1, n + 1)                       # in-layer, 1-based
     l = jnp.arange(1, b + 1)[:, None]              # local layer, 1-based
-    m = jnp.arange(b + 1, n + 1)[:, None, None]    # batch of subgrid tops
+    # subgrid top m = row+1, clamped to the first real subgrid for F rows
+    m = jnp.maximum(rows + 1, b + 1)[:, None, None]
     inv_h2 = 1.0 / (h * h)
 
     s1_m = pml.s1((i - 0.5) * h, const, eta, omega, cd)
@@ -205,6 +230,47 @@ def build_hm_stencils(n, b, const, eta, omega, h, c_full, *,
     cs = cs.at[:, 0, :].set(0)
     cn = cn.at[:, -1, :].set(0)
     return Stencil5(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn)
+
+
+def build_hm_stencils(n, b, const, eta, omega, h, c_full, *,
+                      fidelity="as-shipped",
+                      complex_dtype=jnp.complex128) -> Stencil5:
+    """Assemble the whole moving-PML subgrid family {H_m : m = b+1..n} in one
+    shot as a batched Stencil5 with fields of shape (M, b, n), M = n-b.
+
+    Vectorized equivalent of the reference's per-m `get_Hm` loop
+    (code.py:223-290, 349-352).  Key structural fact (SURVEY.md pml.s2m
+    docstring): the moved stretching s2m(j*h) = s2(l*h) depends only on the
+    *local* layer index l = j-(m-b) in 1..b, so the s2 factors are shared by
+    every m; only the velocity samples vary with m.
+
+    Batch index mi corresponds to m = b+1+mi (equivalently: entry mi acts
+    on global grid row b+mi, 0-based); subgrid layers are the global layers
+    j = m-b+1..m; the subgrid boundary is Dirichlet on all sides (coupling
+    masks at l=1 and l=b; the layer-wraparound zeroing of the reference,
+    code.py:277-278, is automatic in the per-layer representation).
+    """
+    return build_hm_stencils_rows(
+        jnp.arange(b, n), n, b, const, eta, omega, h, c_full,
+        fidelity=fidelity, complex_dtype=complex_dtype)
+
+
+def build_hf_stencil(n, b, const, eta, omega, h, c_full, *,
+                     full_coupling: bool = True,
+                     fidelity="as-shipped",
+                     complex_dtype=jnp.complex128) -> Stencil5:
+    """H_F assembled standalone from scalars + the velocity field — the
+    same matrix `extract_hf_stencil` slices out of an assembled A, built
+    without needing A (so every device of a distributed setup can compute
+    the replicated H_F factors locally)."""
+    HF = build_a_stencil_rows(jnp.arange(b), n, b, const, eta, omega, h,
+                              c_full, fidelity=fidelity,
+                              complex_dtype=complex_dtype)
+    cs, cn = HF.cs, HF.cn.at[b - 1, :].set(0)
+    if not full_coupling:
+        cs = jnp.zeros_like(cs)
+        cn = jnp.zeros_like(cn)
+    return Stencil5(cc=HF.cc, cw=HF.cw, ce=HF.ce, cs=cs, cn=cn)
 
 
 def extract_hf_stencil(A: Stencil5, b: int, *,

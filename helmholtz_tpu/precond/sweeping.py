@@ -139,6 +139,76 @@ def _schur_corner_inverse(H: Stencil5):
     return T_last
 
 
+def factor_corner_inverses(hm: Stencil5, *, n_pad: int, g_dtype,
+                           setup_chunk: int = 128,
+                           zero_mask: jax.Array | None = None) -> CArray:
+    """Factor a batched subgrid family (Stencil5 fields (M, b, n)) into its
+    corner-inverse stack G: a split-real CArray (M, n_pad, n_pad), zero
+    lane-padded, stored as `g_dtype`.
+
+    Shared by the single-device setup (`setup_preconditioner`) and the
+    distributed per-band setup (`dist.factor`), where each device calls this
+    on its own row-aligned family inside shard_map — the reference's n-b
+    independent factorizations (code.py:349-352) parallelized across the
+    mesh so setup memory scales with devices.
+
+    `zero_mask`: optional (M,) bool — entries forced to zero after
+    factoring (the F-band rows of a row-aligned family, which have no
+    subgrid).  Applied per chunk, so masked entries still cost their
+    factorization flops but never a full-stack pass.
+
+    Peak memory is the final G plus ~3 * chunk * n^2 complex words of
+    batched-inverse workspace; the chunk is clamped so that workspace stays
+    bounded as n grows.
+    """
+    M, _, n = hm.cc.shape
+    # bound peak setup memory: a few (chunk, n, n) complex buffers live
+    # inside the batched inverse, so scale the chunk down with the grid.
+    setup_chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
+
+    def pad_g(x, start):
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+        if zero_mask is not None:
+            keep = ~jax.lax.dynamic_slice_in_dim(zero_mask, start,
+                                                 x.shape[0], 0)
+            x = jnp.where(keep[:, None, None], x, 0)
+        return x.astype(g_dtype)
+
+    if M <= setup_chunk:
+        T = _schur_corner_inverse(hm)
+        return CArray(pad_g(T.real, 0), pad_g(T.imag, 0))
+
+    # Chunked fori_loop writing the split-real G buffers in place
+    # (dynamic_update_slice in a loop is in-place under XLA), so peak
+    # memory is the final G plus one chunk of workspace — a stacked
+    # lax.map would double-buffer the ~(M, n, n) result (OOM at
+    # n=1023, where G alone is ~8.5 GB).  Padding happens per chunk for
+    # the same reason: padding the assembled stack would transiently
+    # double it.
+    n_chunks = -(-M // setup_chunk)
+
+    def body(i, bufs):
+        G_re, G_im = bufs
+        # overlap-clamped start: the last chunk re-computes a few
+        # duplicate subgrids instead of padding the family
+        start = jnp.minimum(i * setup_chunk, M - setup_chunk)
+        h_chunk = jax.tree.map(
+            lambda f: jax.lax.dynamic_slice_in_dim(f, start, setup_chunk, 0),
+            hm)
+        Tc = _schur_corner_inverse(h_chunk)
+        G_re = jax.lax.dynamic_update_slice_in_dim(
+            G_re, pad_g(Tc.real, start), start, 0)
+        G_im = jax.lax.dynamic_update_slice_in_dim(
+            G_im, pad_g(Tc.imag, start), start, 0)
+        return (G_re, G_im)
+
+    G_re, G_im = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.zeros((M, n_pad, n_pad), g_dtype),
+         jnp.zeros((M, n_pad, n_pad), g_dtype)))
+    return CArray(G_re, G_im)
+
+
 def _block_thomas_solve(T, cs, cn, rhs):
     """Solve the block-tridiagonal system given its Schur-inverse stack.
 
@@ -246,47 +316,8 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
         pad_lanes = jax.default_backend() == "tpu"
     n_pad = (-(-n // 128) * 128) if pad_lanes else n
     g_dtype = g_dtype or hm.cc.real.dtype
-    # bound peak setup memory: a few (chunk, n, n) complex buffers live
-    # inside the batched inverse, so scale the chunk down with the grid.
-    setup_chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
-
-    def pad_g(x):
-        return jnp.pad(x, ((0, 0), (0, n_pad - n),
-                           (0, n_pad - n))).astype(g_dtype)
-
-    if M <= setup_chunk:
-        T = _schur_corner_inverse(hm)
-        G = CArray(pad_g(T.real), pad_g(T.imag))
-    else:
-        # Chunked fori_loop writing the split-real G buffers in place
-        # (dynamic_update_slice in a loop is in-place under XLA), so peak
-        # memory is the final G plus one chunk of workspace — a stacked
-        # lax.map would double-buffer the ~(M, n, n) result (OOM at
-        # n=1023, where G alone is ~8.5 GB).  Padding happens per chunk for
-        # the same reason: padding the assembled stack would transiently
-        # double it.
-        n_chunks = -(-M // setup_chunk)
-
-        def body(i, bufs):
-            G_re, G_im = bufs
-            # overlap-clamped start: the last chunk re-computes a few
-            # duplicate subgrids instead of padding the family
-            start = jnp.minimum(i * setup_chunk, M - setup_chunk)
-            h_chunk = jax.tree.map(
-                lambda f: jax.lax.dynamic_slice_in_dim(f, start, setup_chunk, 0),
-                hm)
-            Tc = _schur_corner_inverse(h_chunk)
-            G_re = jax.lax.dynamic_update_slice_in_dim(
-                G_re, pad_g(Tc.real), start, 0)
-            G_im = jax.lax.dynamic_update_slice_in_dim(
-                G_im, pad_g(Tc.imag), start, 0)
-            return (G_re, G_im)
-
-        G_re, G_im = jax.lax.fori_loop(
-            0, n_chunks, body,
-            (jnp.zeros((M, n_pad, n_pad), g_dtype),
-             jnp.zeros((M, n_pad, n_pad), g_dtype)))
-        G = CArray(G_re, G_im)
+    G = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=g_dtype,
+                               setup_chunk=setup_chunk)
 
     HF = fd_stencil.extract_hf_stencil(A, b, full_coupling=hf_full_coupling)
     TF = _schur_t_stack(HF)

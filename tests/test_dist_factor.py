@@ -1,0 +1,150 @@
+"""Distributed factorization tests (VERDICT round 2 item 1): setup memory
+scales with devices — each device assembles + factors its own row band
+inside shard_map; no single-device G stack is ever materialized."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from helmholtz_tpu import HelmholtzConfig, assemble_problem
+from helmholtz_tpu.dist import (dist_state_from_preconditioner,
+                                distributed_setup, distributed_solve,
+                                make_mesh)
+from helmholtz_tpu.fd import stencil
+from helmholtz_tpu.precond import setup_preconditioner
+
+NDEV = 8
+
+
+def _single_reference(n=32, b=3, wave_num=2.0, const=20.0):
+    cfg = HelmholtzConfig(n=n, b=b, wave_num=wave_num, const=const)
+    prob = assemble_problem(cfg, "c1_f1")
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    P_ = setup_preconditioner(prob.A, hm, cfg.b)
+    return cfg, prob, P_
+
+
+def test_row_builders_match_full_assembly():
+    """The band builders are exact row slices of the whole-grid builders."""
+    cfg = HelmholtzConfig(n=24, b=4, wave_num=2.0, const=20.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    rows = jnp.arange(6, 14)
+    A_band = stencil.build_a_stencil_rows(
+        rows, cfg.n, cfg.b, cfg.const, cfg.eta, cfg.omega, cfg.h,
+        prob.c_full, fidelity=cfg.fidelity)
+    for name in ("cc", "cw", "ce", "cs", "cn"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(A_band, name)),
+            np.asarray(getattr(prob.A, name))[6:14])
+
+    hm_full = stencil.build_hm_stencils(
+        cfg.n, cfg.b, cfg.const, cfg.eta, cfg.omega, cfg.h, prob.c_full,
+        fidelity=cfg.fidelity)
+    hm_band = stencil.build_hm_stencils_rows(
+        rows, cfg.n, cfg.b, cfg.const, cfg.eta, cfg.omega, cfg.h,
+        prob.c_full, fidelity=cfg.fidelity)
+    # row j (0-based) corresponds to family entry j - b in the full build
+    for name in ("cc", "cw", "ce", "cs", "cn"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(hm_band, name)),
+            np.asarray(getattr(hm_full, name))[6 - cfg.b:14 - cfg.b])
+
+
+def test_hf_standalone_matches_extracted():
+    cfg = HelmholtzConfig(n=24, b=4, wave_num=2.0, const=20.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    for full in (True, False):
+        HF_a = stencil.extract_hf_stencil(prob.A, cfg.b, full_coupling=full)
+        HF_b = stencil.build_hf_stencil(
+            cfg.n, cfg.b, cfg.const, cfg.eta, cfg.omega, cfg.h, prob.c_full,
+            full_coupling=full, fidelity=cfg.fidelity)
+        for name in ("cc", "cw", "ce", "cs", "cn"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(HF_a, name)),
+                np.asarray(getattr(HF_b, name)))
+
+
+def test_distributed_setup_matches_single_device_factors():
+    """Per-band factorization == single-device factorization, leaf by leaf."""
+    cfg, prob, P_ = _single_reference()
+    ref = dist_state_from_preconditioner(P_)
+    mesh = make_mesh(NDEV)
+    A_sh, state, f_sh = distributed_setup(
+        mesh, cfg.n, cfg.b, cfg.wave_num, cfg.const, cfg.alpha, "c1_f1",
+        fidelity=cfg.fidelity)
+
+    np.testing.assert_allclose(state.G_pad.to_np(), ref.G_pad.to_np(),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.TF.to_np(), ref.TF.to_np(),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(state.a_cs.to_np(), ref.a_cs.to_np(),
+                               rtol=1e-13, atol=0)
+    np.testing.assert_allclose(state.a_cn.to_np(), ref.a_cn.to_np(),
+                               rtol=1e-13, atol=0)
+    np.testing.assert_allclose(state.hf_cs.to_np(), ref.hf_cs.to_np(),
+                               rtol=1e-13, atol=0)
+    np.testing.assert_allclose(state.hf_cn.to_np(), ref.hf_cn.to_np(),
+                               rtol=1e-13, atol=0)
+    # the assembled shards reproduce the whole-grid operator and RHS
+    for name in ("cc", "cw", "ce", "cs", "cn"):
+        np.testing.assert_allclose(
+            getattr(A_sh, name).to_np(), np.asarray(getattr(prob.A, name)),
+            rtol=1e-13, atol=0)
+    np.testing.assert_allclose(f_sh.to_np(), np.asarray(prob.f_grid),
+                               rtol=1e-13, atol=0)
+
+
+def test_distributed_setup_no_device_holds_full_g():
+    """Shard accounting: every G_pad shard is exactly one row band —
+    per-device factor memory is 1/NDEV of the stack (the property that
+    unblocks grids whose full G exceeds one chip's HBM)."""
+    cfg = HelmholtzConfig(n=32, b=3, wave_num=2.0, const=20.0)
+    mesh = make_mesh(NDEV)
+    _, state, _ = distributed_setup(
+        mesh, cfg.n, cfg.b, cfg.wave_num, cfg.const, cfg.alpha, "c1_f1")
+    n_loc = cfg.n // NDEV
+    shards = state.G_pad.re.addressable_shards
+    assert len(shards) == NDEV
+    for s in shards:
+        assert s.data.shape == (n_loc, cfg.n, cfg.n)
+
+    # bench.plan accounting for the target scale: full G at n=2047 exceeds
+    # one 16 GB chip, the 8-device row-sharded setup fits per device.
+    from helmholtz_tpu.bench.plan import plan
+    p = plan(2047, g_dtype="bf16")
+    assert not p["fits_single_chip"]
+    assert p["min_devices_row_sharded"] <= 8
+    assert p["per_device_gb_at_min"] < 0.92 * p["hbm_gb"]
+
+
+def test_distributed_setup_solve_end_to_end():
+    """distributed_solve on distributed-setup state matches the solve on
+    single-device-factored state (same iterations, same solution)."""
+    cfg, prob, P_ = _single_reference()
+    mesh = make_mesh(NDEV)
+    A_sh, state, f_sh = distributed_setup(
+        mesh, cfg.n, cfg.b, cfg.wave_num, cfg.const, cfg.alpha, "c1_f1")
+
+    res_d = distributed_solve(mesh, A_sh, state, f_sh, rtol=1e-3,
+                              maxiter=200)
+    ref_state = dist_state_from_preconditioner(P_)
+    res_ref = distributed_solve(mesh, prob.A, ref_state, prob.f_grid,
+                                rtol=1e-3, maxiter=200)
+    assert bool(res_d.converged)
+    assert int(res_d.iterations) == int(res_ref.iterations)
+    np.testing.assert_allclose(res_d.x.to_np(), res_ref.x.to_np(),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_distributed_setup_bf16_storage():
+    cfg = HelmholtzConfig(n=32, b=3, wave_num=2.0, const=20.0)
+    mesh = make_mesh(NDEV)
+    A_sh, state, f_sh = distributed_setup(
+        mesh, cfg.n, cfg.b, cfg.wave_num, cfg.const, cfg.alpha, "c1_f1",
+        g_dtype="bf16")
+    assert state.G_pad.re.dtype == jnp.bfloat16
+    res = distributed_solve(mesh, A_sh, state, f_sh, rtol=1e-3, maxiter=200)
+    assert bool(res.converged)
