@@ -192,7 +192,9 @@ def cmd_multisolve(args):
             args.n, args.b, [wn], consts=[C], alpha=args.alpha,
             problem=args.problem, n_sources=args.multi_rhs, rtol=args.rtol,
             restart=args.restart, maxiter=args.maxiter or 200,
-            fidelity=args.fidelity)
+            fidelity=args.fidelity, g_dtype=args.g_dtype,
+            mesh_devices=args.mesh, precision=args.precision,
+            precond_refine=args.precond_refine)
         ckpt.add(rec)
         print(json.dumps(rec))
         ok &= all(rec["converged"])
@@ -261,6 +263,14 @@ def main(argv=None):
     p.add_argument("--rtol", type=float, default=1e-3)
     p.add_argument("--restart", type=int, default=20)
     p.add_argument("--maxiter", type=int, default=None)
+    p.add_argument("--mesh", type=int, default=None, metavar="D",
+                   help="route each frequency through the fully "
+                        "distributed path on a D-device mesh (per-band "
+                        "factorization, no single-device G; requires D|n)")
+    p.add_argument("--g-dtype", default="working",
+                   choices=["working", "f32", "bf16"])
+    p.add_argument("--precision", default="f32", choices=["f32", "ir-df32"])
+    p.add_argument("--precond-refine", type=int, default=0)
     p.add_argument("--metrics", metavar="JSONL")
     p.add_argument("--checkpoint", metavar="JSONL",
                    help="sweep progress file: completed frequencies are "

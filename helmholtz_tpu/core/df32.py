@@ -125,25 +125,21 @@ def _shift_n(u):
 _SHIFTS = (lambda u: u, _shift_w, _shift_e, _shift_s, _shift_n)
 
 
-def stencil_residual_comp(A: Stencil5, b: jax.Array, x: DF32) -> jax.Array:
-    """r = b - A @ (x.hi + x.lo), compensated, on the (L, n) grid.
+def _residual_comp_core(fields, b, views):
+    """Shared compensated-residual kernel: r = b - sum_k fields[k] * u_k
+    with u_k given as (hi, lo) complex view pairs aligned with `fields`.
 
-    A: complex Stencil5 (in-flight complex over split-real storage); b
-    complex (L, n); x a DF32 of complex (L, n).  Returns complex (L, n)
-    accurate to ~eps * |r| — the residual the f32 inner solver can trust.
-
-    Each of the 5 stencil terms contributes 4 real two_prods per plane
-    (complex multiply); their rounding errors and x.lo contributions
-    accumulate in a plain f32 error channel (they are already ~eps relative
-    to the terms, so first-order accuracy of the channel suffices).
+    Each term contributes 4 real two_prods per plane (complex multiply);
+    their rounding errors and the lo-part contributions accumulate in a
+    plain single-width error channel (they are already ~eps relative to
+    the terms, so first-order accuracy of the channel suffices).
     """
-    fields = (A.cc, A.cw, A.ce, A.cs, A.cn)
     sr, si = jnp.real(b), jnp.imag(b)
     er, ei = jnp.zeros_like(sr), jnp.zeros_like(sr)
-    for a, shift in zip(fields, _SHIFTS):
+    for a, (uh, ul) in zip(fields, views):
         ar, ai = jnp.real(a), jnp.imag(a)
-        uhr, uhi = shift(jnp.real(x.hi)), shift(jnp.imag(x.hi))
-        ulr, uli = shift(jnp.real(x.lo)), shift(jnp.imag(x.lo))
+        uhr, uhi = jnp.real(uh), jnp.imag(uh)
+        ulr, uli = jnp.real(ul), jnp.imag(ul)
         # real plane: -(ar*uhr - ai*uhi), error-free products
         for coef, vec in ((-ar, uhr), (ai, uhi)):
             p, pe = two_prod(coef, vec)
@@ -158,3 +154,53 @@ def stencil_residual_comp(A: Stencil5, b: jax.Array, x: DF32) -> jax.Array:
         er = er - (ar * ulr - ai * uli)
         ei = ei - (ar * uli + ai * ulr)
     return jax.lax.complex(sr + er, si + ei)
+
+
+def stencil_residual_comp(A: Stencil5, b: jax.Array, x: DF32) -> jax.Array:
+    """r = b - A @ (x.hi + x.lo), compensated, on the (L, n) grid.
+
+    A: complex Stencil5 (in-flight complex over split-real storage); b
+    complex (L, n); x a DF32 of complex (L, n).  Returns complex (L, n)
+    accurate to ~eps * |r| — the residual the f32 inner solver can trust.
+    """
+    fields = (A.cc, A.cw, A.ce, A.cs, A.cn)
+    views = [(shift(x.hi), shift(x.lo)) for shift in _SHIFTS]
+    return _residual_comp_core(fields, b, views)
+
+
+def halo_stencil_residual_comp(A_local: Stencil5, b_local: jax.Array,
+                               x: DF32, axis_name: str,
+                               n_devices: int) -> jax.Array:
+    """Row-sharded compensated residual inside shard_map (the distributed
+    counterpart of `stencil_residual_comp` — what lets `distributed_solve`
+    reach rtol 1e-6 in f32).
+
+    x is a DF32 of the LOCAL (n_loc, n) grid; the +-n couplings need one
+    neighbor row of BOTH the hi and lo planes, exchanged as one ppermute
+    message per direction (hi and lo stacked).  Devices at the domain
+    boundary receive zeros — consistent with the masked boundary
+    coefficients, exactly as in `dist.spmv.halo_stencil_matvec`.
+    """
+    up_perm = [(i, i + 1) for i in range(n_devices - 1)]
+    down_perm = [(i, i - 1) for i in range(1, n_devices)]
+
+    edge_lo = jnp.stack([x.hi[-1], x.lo[-1]])       # (2, n) last local row
+    edge_hi = jnp.stack([x.hi[0], x.lo[0]])         # (2, n) first local row
+    below = jax.lax.ppermute(edge_lo, axis_name, up_perm)    # from d-1
+    above = jax.lax.ppermute(edge_hi, axis_name, down_perm)  # from d+1
+
+    def ext(u, lo_row, hi_row):
+        return jnp.concatenate([lo_row[None], u, hi_row[None]], axis=0)
+
+    xe_hi = ext(x.hi, below[0], above[0])           # (n_loc + 2, n)
+    xe_lo = ext(x.lo, below[1], above[1])
+    center = (xe_hi[1:-1], xe_lo[1:-1])
+    views = [
+        center,
+        (_shift_w(center[0]), _shift_w(center[1])),
+        (_shift_e(center[0]), _shift_e(center[1])),
+        (xe_hi[:-2], xe_lo[:-2]),                   # south neighbor rows
+        (xe_hi[2:], xe_lo[2:]),                     # north neighbor rows
+    ]
+    fields = (A_local.cc, A_local.cw, A_local.ce, A_local.cs, A_local.cn)
+    return _residual_comp_core(fields, b_local, views)

@@ -342,6 +342,9 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
                    fidelity: str = "corrected",
                    setup_chunk: int = 128,
                    g_dtype: str = "working",
+                   mesh_devices: Optional[int] = None,
+                   precision: str = "f32",
+                   precond_refine: int = 0,
                    complex_dtype=None) -> list:
     """Multi-frequency, multi-source sweep — BASELINE config 5 end-to-end.
 
@@ -353,8 +356,14 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
     stack once per iteration for the whole batch.  Frequencies run
     sequentially so peak memory stays one factor stack (the
     store-vs-recompute choice of SURVEY.md section 7.3 item 1 at the
-    single-chip scale; shard the rows over a mesh via dist.distributed_solve
-    to go wider).
+    single-chip scale).
+
+    `mesh_devices=D` routes every frequency through the fully distributed
+    path (the config-5 shape at scale): per-band assembly + factorization
+    (`dist.factor.distributed_setup` — no single-device G stack ever
+    exists) and a batched `distributed_solve` whose sweep applications ride
+    one staged schedule and one pass of the local G shards.  Requires
+    D | n; records gain `mesh_devices` and `per_device_g_bytes`.
 
     Returns one record dict per frequency (per-source iteration counts,
     residuals, timings).
@@ -371,39 +380,65 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
     r1s = jnp.linspace(0.2, 0.8, n_sources).astype(wf)
     r2s = jnp.full((n_sources,), source_y, wf)
 
+    mesh = None
+    if mesh_devices:
+        from .dist import make_mesh
+        mesh = make_mesh(mesh_devices)
+
+    from .core.complexlib import tree_to_np
     records = []
-    P_pair = res_pair = None
+    P_pair = res_pair = A_sh = state = None
     for wn, C in zip(wave_nums, consts):
         # free the previous frequency's factor stack BEFORE building the
         # next one — two G stacks (2 x ~8.5 GB at n=1023) do not coexist
         # in 16 GB of HBM
-        P_pair = res_pair = None  # noqa: F841
+        P_pair = res_pair = A_sh = state = None  # noqa: F841
+        per_device_g = None
         t0 = time.perf_counter()
-        (A_pair, hm_pair, _), _ = _assemble_stage(
-            jnp.asarray(wn, wf), jnp.asarray(C, wf), jnp.asarray(alpha, wf),
-            n=n, b=b, problem=problem, fidelity=fidelity, cdtype=cdtype)
         F_pair = _sources_stage(jnp.asarray(wn, wf), jnp.asarray(alpha, wf),
                                 r1s, r2s, n=n, problem=problem,
                                 cdtype=cdtype)
-        P_pair = _factor_stage(A_pair, hm_pair, b=b, hf_full_coupling=True,
-                               d2_replace=True, setup_chunk=setup_chunk,
-                               g_dtype=g_dtype)
-        _host_sync(P_pair)
-        t1 = time.perf_counter()
-        res_pair = _msolve_stage(A_pair, P_pair, F_pair,
-                                 jnp.asarray(rtol, wf), restart=restart,
-                                 maxiter=maxiter)
-        _host_sync(res_pair)
-        t2 = time.perf_counter()
+        if mesh is not None:
+            from .dist import distributed_setup, distributed_solve
+            A_sh, state, _ = distributed_setup(
+                mesh, n, b, wn, C, alpha, problem, fidelity=fidelity,
+                g_dtype=g_dtype, setup_chunk=setup_chunk,
+                complex_dtype=cdtype)
+            _host_sync(state.TF)
+            t1 = time.perf_counter()
+            res_pair = distributed_solve(
+                mesh, A_sh, state, F_pair, rtol=rtol, restart=restart,
+                maxiter=maxiter, precision=precision,
+                precond_refine=precond_refine)
+            _host_sync(res_pair.iterations)
+            t2 = time.perf_counter()
+            shard = state.G_pad.re.addressable_shards[0].data
+            per_device_g = 2 * shard.nbytes           # re + im
+            A_np = tree_to_np(A_sh)
+        else:
+            (A_pair, hm_pair, _), _ = _assemble_stage(
+                jnp.asarray(wn, wf), jnp.asarray(C, wf),
+                jnp.asarray(alpha, wf), n=n, b=b, problem=problem,
+                fidelity=fidelity, cdtype=cdtype)
+            P_pair = _factor_stage(A_pair, hm_pair, b=b,
+                                   hf_full_coupling=True,
+                                   d2_replace=True, setup_chunk=setup_chunk,
+                                   g_dtype=g_dtype)
+            _host_sync(P_pair)
+            t1 = time.perf_counter()
+            res_pair = _msolve_stage(A_pair, P_pair, F_pair,
+                                     jnp.asarray(rtol, wf), restart=restart,
+                                     maxiter=maxiter)
+            _host_sync(res_pair)
+            t2 = time.perf_counter()
+            A_np = tree_to_np(A_pair)
 
-        from .core.complexlib import tree_to_np
-        A_np = tree_to_np(A_pair)
         F_np = F_pair.to_np().reshape(n_sources, n, n)
         X = res_pair.x.to_np().reshape(n_sources, n, n)
         true_res = [float(np.linalg.norm(
             (_host_stencil_matvec(A_np, X[k]) - F_np[k]).ravel())
             / np.linalg.norm(F_np[k].ravel())) for k in range(n_sources)]
-        records.append({
+        rec = {
             "n": n, "b": b, "wave_num": float(wn), "const": float(C),
             "problem": problem, "n_sources": n_sources, "rtol": rtol,
             "iterations": np.asarray(res_pair.iterations).tolist(),
@@ -411,7 +446,12 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
             "true_residuals": true_res,
             "init_time_s": t1 - t0, "solve_time_s": t2 - t1,
             "dtype": str(np.dtype(cdtype)),
-        })
+        }
+        if mesh is not None:
+            rec["mesh_devices"] = int(mesh_devices)
+            rec["per_device_g_bytes"] = int(per_device_g)
+            rec["g_dtype"] = g_dtype
+        records.append(rec)
     return records
 
 

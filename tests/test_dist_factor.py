@@ -139,6 +139,35 @@ def test_distributed_setup_solve_end_to_end():
                                rtol=1e-8, atol=1e-10)
 
 
+def test_distributed_multisolve_config5_shape():
+    """BASELINE config 5 end-to-end on the mesh: frequencies x batched
+    sources through distributed_solve on per-band-factored shards
+    (VERDICT round 2 item 3)."""
+    from helmholtz_tpu.driver import run_multisolve
+
+    n, b, K = 64, 6, 3
+    recs = run_multisolve(n, b, [4.0, 6.0], consts=[61.0],
+                          problem="c1_f1", n_sources=K, rtol=1e-3,
+                          maxiter=100, mesh_devices=NDEV)
+    assert len(recs) == 2
+    for rec in recs:
+        assert rec["mesh_devices"] == NDEV
+        assert len(rec["iterations"]) == K
+        assert all(rec["converged"])
+        assert all(r < 2e-3 for r in rec["true_residuals"])
+        # per-device G is exactly one row band (split-real)
+        n_loc = n // NDEV
+        itemsize = 8 if jax.config.jax_enable_x64 else 4
+        assert rec["per_device_g_bytes"] == 2 * n_loc * n * n * itemsize
+
+    # distributed records match the single-chip multisolve iteration counts
+    recs_s = run_multisolve(n, b, [4.0, 6.0], consts=[61.0],
+                            problem="c1_f1", n_sources=K, rtol=1e-3,
+                            maxiter=100)
+    for rd, rs in zip(recs, recs_s):
+        assert rd["iterations"] == rs["iterations"]
+
+
 def test_distributed_setup_bf16_storage():
     cfg = HelmholtzConfig(n=32, b=3, wave_num=2.0, const=20.0)
     mesh = make_mesh(NDEV)
