@@ -180,13 +180,19 @@ def measure_dist_apply(n, b, ndev, *, wave_num=2.0, const=20.0,
 
 
 def measure_weak_apply(ndev, *, n=64, rows_per_dev=8, reps=3,
-                       inner_iters=10) -> dict:
+                       inner_iters=10, batch=1) -> dict:
     """Constant-per-device-work weak scaling of the staged sweep: a
     synthetic row-sharded G stack of L = rows_per_dev * ndev blocks of
     fixed (n, n) size, so every device does IDENTICAL work at every device
     count and eff_weak = T_1 / T_D is directly meaningful.  (The square
     Helmholtz grid ties rows to columns, so real-problem weak series
-    conflate work growth — this is the controlled measurement.)"""
+    conflate work growth — this is the controlled measurement.)
+
+    `batch` > 1 measures the BATCHED-RHS series (BASELINE config 5 /
+    SURVEY.md section 2.3): a single-RHS staged sweep leaves D-1 of D
+    devices idle at any moment (expected weak efficiency ~1/D); B
+    right-hand sides ride the same G stream, filling the idle stages, so
+    the batched series is the design's actual weak-scaling claim."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..core.complexlib import CArray
@@ -210,12 +216,15 @@ def measure_weak_apply(ndev, *, n=64, rows_per_dev=8, reps=3,
         a_cs=CArray(rnd(L, n), rnd(L, n)),
         a_cn=CArray(rnd(L, n), rnd(L, n)),
         b=b, d2_replace=True)
-    f = CArray(rnd(L, n), rnd(L, n))      # pair at rest (TPU convention)
+    f = (CArray(rnd(L, n), rnd(L, n)) if batch == 1
+         else CArray(rnd(batch, L, n), rnd(batch, L, n)))  # pairs at rest
 
     mesh = make_mesh(ndev)
     row, repl = P(LAYER_AXIS), P()
+    f_spec = row if batch == 1 else P(None, LAYER_AXIS)
     shard_rows = lambda x: jax.device_put(x, NamedSharding(mesh, P(
         LAYER_AXIS, *([None] * (x.ndim - 1)))))
+    shard_f = lambda x: jax.device_put(x, NamedSharding(mesh, f_spec))
     replicate = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
     state_sh = DistSweepState(
         G_pad=jax.tree.map(shard_rows, state.G_pad),
@@ -244,15 +253,16 @@ def measure_weak_apply(ndev, *, n=64, rows_per_dev=8, reps=3,
         return CArray(jnp.real(out), jnp.imag(out))
 
     fn = jax.jit(jax.shard_map(local, mesh=mesh,
-                               in_specs=(*in_specs, repl),
-                               out_specs=row, check_vma=False))
-    f_sh = jax.tree.map(shard_rows, f)
+                               in_specs=(in_specs[0], f_spec, repl),
+                               out_specs=f_spec, check_vma=False))
+    f_sh = jax.tree.map(shard_f, f)
 
     def run_k(k):
         out = fn(state_sh, f_sh, jnp.asarray([k]).astype(jnp.int32))
         _sync(out)
 
     return {"n": n, "rows_per_device": rows_per_dev, "n_devices": ndev,
+            "batch": batch,
             "s_per_apply": _two_point(run_k, inner_iters, reps)}
 
 
@@ -323,18 +333,28 @@ def scaling_report(*, strong_n=64, weak_rows_per_dev=16, b=3,
         rec["strong_efficiency"] = (t0 * d0) / (rec["n_devices"]
                                                 * rec["solve_s"])
 
-    weak_apply = [measure_weak_apply(d) for d in ndevs]
-    ta1 = weak_apply[0]["s_per_apply"]
-    for rec in weak_apply:
-        rec["weak_efficiency"] = ta1 / rec["s_per_apply"]
+    # the design's central scaling claim, MEASURED (VERDICT round 2 item 4):
+    # single-RHS staged sweep decays ~1/D; a B=8 batch rides the same G
+    # stream and fills the idle stages, restoring weak efficiency
+    weak_apply_by_batch = {}
+    for B in (1, 8):
+        series = [measure_weak_apply(d, batch=B) for d in ndevs]
+        ta1 = series[0]["s_per_apply"]
+        for rec in series:
+            # per-RHS efficiency: T_1(B)/T_D(B) at constant per-device rows
+            rec["weak_efficiency"] = ta1 / rec["s_per_apply"]
+        weak_apply_by_batch[B] = series
+    weak_apply = weak_apply_by_batch[1]
 
     # real-problem weak series: rows-per-device constant, but the square
-    # grid grows columns too — reported as raw data (per-device G traffic
-    # included), NOT as an efficiency claim
+    # grid grows columns too AND iteration counts drift with n — reported
+    # per-iteration so the series measures scaling, not solver convergence
     weak_solve = []
     for d in ndevs:
         n_w = weak_rows_per_dev * d
-        weak_solve.append(measure_dist_solve(n_w, b, d, rtol=rtol))
+        rec = measure_dist_solve(n_w, b, d, rtol=rtol)
+        rec["solve_s_per_iter"] = rec["solve_s"] / max(rec["iters"], 1)
+        weak_solve.append(rec)
 
     apply_series = [measure_dist_apply(strong_n, b, d) for d in ndevs]
     halo_series = [measure_halo_fraction(strong_n, d) for d in ndevs]
@@ -344,6 +364,7 @@ def scaling_report(*, strong_n=64, weak_rows_per_dev=16, b=3,
         "devices": ndevs,
         "strong": strong,
         "weak_apply_constant_work": weak_apply,
+        "weak_apply_batched_rhs_b8": weak_apply_by_batch[8],
         "weak_solve_square_grids": weak_solve,
         "apply": apply_series,
         "halo": halo_series,
@@ -352,8 +373,10 @@ def scaling_report(*, strong_n=64, weak_rows_per_dev=16, b=3,
                   "module docstring recipe).  A SINGLE-RHS staged sweep "
                   "weak-scales as ~1/D by construction — the recursion is "
                   "serial (SURVEY.md section 7.3 item 2) and stages add; "
-                  "batched RHS (see multisolve / distributed_solve batched "
-                  "mode) is what restores utilization at scale."),
+                  "the B=8 series (weak_apply_batched_rhs_b8) measures the "
+                  "batched-RHS claim: per-RHS time stays ~flat with D.  "
+                  "weak_solve_square_grids reports solve_s_per_iter to "
+                  "decouple iteration-count drift from scaling."),
     }
 
 

@@ -32,7 +32,7 @@ def _add_problem_args(p):
 
 def _add_solver_args(p):
     p.add_argument("--precond", default="moving_pml",
-                   choices=["moving_pml", "exact", "none"])
+                   choices=["moving_pml", "recompute", "exact", "none"])
     p.add_argument("--method", default="gmres", choices=["gmres", "bicgstab"])
     p.add_argument("--rtol", type=float, default=1e-3)
     p.add_argument("--restart", type=int, default=20)
@@ -56,6 +56,21 @@ def _add_solver_args(p):
                    help="storage dtype of the factor stack G: bf16 halves "
                         "HBM traffic + memory at unchanged iteration "
                         "counts (measured)")
+    p.add_argument("--schur-block", type=int, default=None, metavar="K",
+                   help="layers between renormalizations of the "
+                        "matrix-fraction factorization (default 1 = direct "
+                        "recursion; K >= 2 trades O(n^3) inversions for "
+                        "O(n^2) propagation but is f32-stable only at "
+                        "small n — see sweeping docstring)")
+    p.add_argument("--factor-stride", type=int, default=None, metavar="R",
+                   help="factor every R-th subgrid, lerp corner inverses "
+                        "between samples (default auto: clip(n/128, 1, 8) "
+                        "on TPU, exact 1 elsewhere; iteration parity is "
+                        "the guard)")
+    p.add_argument("--no-dedup-hm", action="store_true",
+                   help="disable the shared-G collapse for row-invariant "
+                        "velocity fields (c2 problems under corrected "
+                        "sampling factor ONE subgrid by default)")
 
 
 def _add_output_args(p):
@@ -84,6 +99,9 @@ def _solve_one(args):
         precond_refine=args.precond_refine,
         inner_rtol=args.inner_rtol,
         g_dtype=args.g_dtype,
+        schur_block=args.schur_block,
+        factor_stride=args.factor_stride,
+        dedup_hm=(False if args.no_dedup_hm else None),
         hf_full_coupling=not args.block_diag_hf,
         d2_replace=not args.as_shipped_d2)
 

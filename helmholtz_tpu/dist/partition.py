@@ -34,6 +34,13 @@ def make_mesh(n_devices: int | None = None, axis_name: str = LAYER_AXIS) -> Mesh
 
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} mesh devices but only "
+                f"{len(devices)} visible (virtual CPU meshes need "
+                f"--xla_force_host_platform_device_count set before "
+                f"backend init; the axon plugin ignores JAX_PLATFORMS — "
+                f"use jax.config.update('jax_platforms', 'cpu'))")
         devices = devices[:n_devices]
     return Mesh(np.array(devices).reshape(-1), (axis_name,))
 

@@ -44,18 +44,19 @@ def default_complex_dtype():
     return jnp.complex64
 
 
-@partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity", "cdtype"))
+@partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity", "cdtype",
+                                   "dedup_hm"))
 def _assemble_stage(wave_num, const, alpha, *, n, b, problem, fidelity,
-                    cdtype):
+                    cdtype, dedup_hm=False):
     # phase labels surface in jax.profiler traces (utils.profiling)
     with jax.named_scope("assemble"):
         return _assemble_impl(wave_num, const, alpha, n=n, b=b,
                               problem=problem, fidelity=fidelity,
-                              cdtype=cdtype)
+                              cdtype=cdtype, dedup_hm=dedup_hm)
 
 
 def _assemble_impl(wave_num, const, alpha, *, n, b, problem, fidelity,
-                   cdtype):
+                   cdtype, dedup_hm=False):
     omega = (2.0 * jnp.pi * wave_num + 1j * alpha).astype(cdtype)
     h = 1.0 / (n + 1)
     eta = b * h
@@ -63,8 +64,18 @@ def _assemble_impl(wave_num, const, alpha, *, n, b, problem, fidelity,
         omega, n, complex_dtype=cdtype)
     A = fd_stencil.build_a_stencil(n, b, const, eta, omega, h, c_full,
                                    fidelity=fidelity, complex_dtype=cdtype)
-    hm = fd_stencil.build_hm_stencils(n, b, const, eta, omega, h, c_full,
-                                      fidelity=fidelity, complex_dtype=cdtype)
+    if dedup_hm:
+        # row-invariant velocity (problems.ROW_INVARIANT_VELOCITY): every
+        # H_m is the same matrix — build/factor ONE and let the sweep
+        # broadcast it (shared-G).  Setup drops from n-b corner inversions
+        # to one; the apply's G traffic drops from (M, n, n) to (1, n, n).
+        hm = fd_stencil.build_hm_stencils_rows(
+            jnp.arange(b, b + 1), n, b, const, eta, omega, h, c_full,
+            fidelity=fidelity, complex_dtype=cdtype)
+    else:
+        hm = fd_stencil.build_hm_stencils(n, b, const, eta, omega, h, c_full,
+                                          fidelity=fidelity,
+                                          complex_dtype=cdtype)
     return pairify((A, hm, f_grid.astype(cdtype))), c_full
 
 
@@ -72,28 +83,53 @@ _G_DTYPES = {"working": None, "f32": jnp.float32, "bf16": jnp.bfloat16}
 
 
 @partial(jax.jit, static_argnames=("b", "hf_full_coupling", "d2_replace",
-                                   "setup_chunk", "g_dtype"))
+                                   "setup_chunk", "g_dtype", "schur_block",
+                                   "factor_stride"))
 def _factor_stage(A_pair, hm_pair, *, b, hf_full_coupling, d2_replace,
-                  setup_chunk, g_dtype="working"):
+                  setup_chunk, g_dtype="working", schur_block=None,
+                  factor_stride=1):
     with jax.named_scope("factor"):
         return _factor_impl(A_pair, hm_pair, b=b,
                             hf_full_coupling=hf_full_coupling,
                             d2_replace=d2_replace, setup_chunk=setup_chunk,
-                            g_dtype=g_dtype)
+                            g_dtype=g_dtype, schur_block=schur_block,
+                            factor_stride=factor_stride)
 
 
 def _factor_impl(A_pair, hm_pair, *, b, hf_full_coupling, d2_replace,
-                 setup_chunk, g_dtype="working"):
+                 setup_chunk, g_dtype="working", schur_block=None,
+                 factor_stride=1):
     A, hm = complexify((A_pair, hm_pair))
     P = setup_preconditioner(A, hm, b, hf_full_coupling=hf_full_coupling,
                              d2_replace=d2_replace, setup_chunk=setup_chunk,
-                             g_dtype=_G_DTYPES[g_dtype])
+                             g_dtype=_G_DTYPES[g_dtype],
+                             schur_block=schur_block,
+                             factor_stride=factor_stride)
     return pairify(P)
 
 
 @partial(jax.jit, static_argnames=("b",))
 def _factor_exact_stage(A_pair, *, b):
     return pairify(factor_exact(complexify(A_pair)))
+
+
+@partial(jax.jit, static_argnames=("n", "b", "fidelity", "hf_full_coupling",
+                                   "d2_replace", "setup_chunk"))
+def _factor_recompute_stage(A_pair, c_full, wave_num, const, alpha, *, n, b,
+                            fidelity, hf_full_coupling, d2_replace,
+                            setup_chunk):
+    """Factor-free setup (precond='recompute'): only H_F is factored; the
+    G stack is rematerialized chunkwise inside every apply — the
+    'recompute' point of the store-vs-recompute frontier
+    (precond.recompute), which removes the O(M n^2) factor memory and with
+    it the single-chip capacity wall."""
+    from .precond.recompute import setup_recompute
+    A = complexify(A_pair)
+    R = setup_recompute(n, b, wave_num, const, alpha, c_full, A=A,
+                        fidelity=fidelity, hf_full_coupling=hf_full_coupling,
+                        d2_replace=d2_replace,
+                        chunk=None)   # auto-clamped per apply (memory-safe)
+    return R        # already pairs-at-rest (CArray fields + real scalars)
 
 
 @partial(jax.jit, static_argnames=("restart", "maxiter", "use_precond",
@@ -200,26 +236,54 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
                hf_full_coupling: bool = True,
                d2_replace: bool = True,
                setup_chunk: int = 128,
+               schur_block: Optional[int] = None,
+               factor_stride: Optional[int] = None,
+               dedup_hm: Optional[bool] = None,
                complex_dtype=None,
                plot_solution: bool = False) -> SolveReport:
     """End-to-end preconditioned solve — the reference's entry point
-    (code.py:424-541) rebuilt on the staged jit pipeline."""
+    (code.py:424-541) rebuilt on the staged jit pipeline.
+
+    `factor_stride` None = auto: on TPU, factor every clip(n//128, 1, 8)-th
+    subgrid and interpolate (the registry velocity fields are smooth on
+    that scale — setup_preconditioner docstring; iteration parity pinned
+    by tests + recorded by bench.py); exact stride 1 on the CPU oracle
+    backend and always available via factor_stride=1.
+    """
     cdtype = complex_dtype or default_complex_dtype()
     maxiter = maxiter if maxiter is not None else (200 if precond != "none"
                                                   else 20_000)
+    if dedup_hm is None:
+        dedup_hm = (problem in fd_problems.ROW_INVARIANT_VELOCITY
+                    and fidelity == "corrected")
+    if factor_stride is None:
+        factor_stride = (max(1, min(8, n // 128))
+                         if jax.default_backend() == "tpu" else 1)
+    if dedup_hm:
+        factor_stride = 1
     t0 = time.perf_counter()
-    (A_pair, hm_pair, f_pair), _ = _assemble_stage(
-        jnp.asarray(wave_num, jnp.result_type(float)),
-        jnp.asarray(const, jnp.result_type(float)),
-        jnp.asarray(alpha, jnp.result_type(float)),
-        n=n, b=b, problem=problem, fidelity=fidelity, cdtype=cdtype)
+    wf = jnp.result_type(float)
+    (A_pair, hm_pair, f_pair), c_full = _assemble_stage(
+        jnp.asarray(wave_num, wf),
+        jnp.asarray(const, wf),
+        jnp.asarray(alpha, wf),
+        n=n, b=b, problem=problem, fidelity=fidelity, cdtype=cdtype,
+        dedup_hm=dedup_hm)
 
     use_precond = precond != "none"
     if precond == "moving_pml":
         P_pair = _factor_stage(A_pair, hm_pair, b=b,
                                hf_full_coupling=hf_full_coupling,
                                d2_replace=d2_replace,
-                               setup_chunk=setup_chunk, g_dtype=g_dtype)
+                               setup_chunk=setup_chunk, g_dtype=g_dtype,
+                               schur_block=schur_block,
+                               factor_stride=factor_stride)
+    elif precond == "recompute":
+        P_pair = _factor_recompute_stage(
+            A_pair, c_full, jnp.asarray(wave_num, wf),
+            jnp.asarray(const, wf), jnp.asarray(alpha, wf), n=n, b=b,
+            fidelity=fidelity, hf_full_coupling=hf_full_coupling,
+            d2_replace=d2_replace, setup_chunk=setup_chunk)
     elif precond == "exact":
         P_pair = _factor_exact_stage(A_pair, b=b)
     elif precond == "none":
@@ -263,7 +327,9 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
                     problem=problem, rtol=rtol, restart=restart,
                     method=method, precond=precond, fidelity=fidelity,
                     precond_refine=precond_refine, precision=precision,
-                    g_dtype=g_dtype, dtype=str(np.dtype(cdtype))),
+                    g_dtype=g_dtype, schur_block=schur_block,
+                    factor_stride=factor_stride, dedup_hm=dedup_hm,
+                    dtype=str(np.dtype(cdtype))),
     )
     if plot_solution:
         from . import viz
@@ -342,6 +408,7 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
                    fidelity: str = "corrected",
                    setup_chunk: int = 128,
                    g_dtype: str = "working",
+                   factor_stride: Optional[int] = None,
                    mesh_devices: Optional[int] = None,
                    precision: str = "f32",
                    precond_refine: int = 0,
@@ -379,6 +446,9 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
                          "frequencies (zip would silently drop the rest)")
     r1s = jnp.linspace(0.2, 0.8, n_sources).astype(wf)
     r2s = jnp.full((n_sources,), source_y, wf)
+    if factor_stride is None:
+        factor_stride = (max(1, min(8, n // 128))
+                         if jax.default_backend() == "tpu" else 1)
 
     mesh = None
     if mesh_devices:
@@ -423,7 +493,8 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
             P_pair = _factor_stage(A_pair, hm_pair, b=b,
                                    hf_full_coupling=True,
                                    d2_replace=True, setup_chunk=setup_chunk,
-                                   g_dtype=g_dtype)
+                                   g_dtype=g_dtype,
+                                   factor_stride=factor_stride)
             _host_sync(P_pair)
             t1 = time.perf_counter()
             res_pair = _msolve_stage(A_pair, P_pair, F_pair,

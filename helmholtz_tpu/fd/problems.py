@@ -86,3 +86,11 @@ PROBLEMS = {
     "c2_f1": init_c2_f1,
     "c2_f2": init_c2_f2,
 }
+
+# Velocity fields with no x2 (layer) dependence under CORRECTED sampling:
+# every moving-PML subgrid H_m samples the identical velocity window, so the
+# whole family collapses to ONE subgrid (setup factors one corner inverse;
+# the sweep broadcasts it — see precond.sweeping 'shared_g').  Not valid for
+# fidelity="as-shipped", whose transposed read (code.py:108) makes the
+# sampled velocity layer-dependent even for a waveguide.
+ROW_INVARIANT_VELOCITY = frozenset({"c2_f1", "c2_f2"})

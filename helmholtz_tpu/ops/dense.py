@@ -45,20 +45,32 @@ def gauss_jordan_inverse_unpivoted(A: jax.Array) -> jax.Array:
 
 
 def batched_inverse(A: jax.Array, *, block: int = 256,
-                    pivoted: bool = False) -> jax.Array:
+                    pivoted: bool = False, precision=None) -> jax.Array:
     """Inverse of a batch of square matrices (..., n, n).
 
     On TPU: recursive blocked Gauss-Jordan without cross-panel pivoting
     (panels 256 -> 64 -> scalar), all matmuls.  On CPU (and with
     pivoted=True): `jnp.linalg.inv` — LAPACK is fast and globally pivoted
     there, and the CPU oracle suite should exercise reference numerics.
+
+    `precision` sets the panel-update matmul precision.  The default
+    (None = DEFAULT, single-pass bf16 inputs with f32 accumulation) is
+    right for the diagonally dominant complex-shifted Schur blocks the
+    setup inverts — elimination growth stays O(1), so bf16 panel rounding
+    costs ~bf16-level G accuracy, which the preconditioner already
+    tolerates (bf16 G storage leaves iteration counts unchanged), and it
+    is ~1.6x faster than HIGHEST at the batched shapes (measured 41-49 vs
+    26.6 complex-real TF/s amortized).  Pass HIGHEST for matrices that are
+    NOT diagonally dominant (e.g. the matrix-fraction V iterates of
+    precond.sweeping._schur_corner_inverse_fraction, whose unpivoted
+    elimination blows up under bf16 rounding).
     """
     if pivoted or jax.default_backend() == "cpu":
         return jnp.linalg.inv(A)
-    return _blocked_gj(A, block)
+    return _blocked_gj(A, block, precision)
 
 
-def _blocked_gj(A: jax.Array, block: int) -> jax.Array:
+def _blocked_gj(A: jax.Array, block: int, precision=None) -> jax.Array:
     n = A.shape[-1]
     # Note: routing the <=128 base case through ops.pallas.gj_inverse was
     # measured at parity with this path inside the full blocked recursion
@@ -86,11 +98,14 @@ def _blocked_gj(A: jax.Array, block: int) -> jax.Array:
         kb = p * nb
         Xkk = jax.lax.dynamic_slice_in_dim(
             jax.lax.dynamic_slice_in_dim(X, kb, nb, -2), kb, nb, -1)
-        P = _blocked_gj(Xkk, max(64, nb // 4))        # recursive panel inverse
-        rowk = P @ jax.lax.dynamic_slice_in_dim(X, kb, nb, -2)  # (.., nb, n)
+        P = _blocked_gj(Xkk, max(64, nb // 4), precision)  # recursive panel
+        rowk = jnp.matmul(
+            P, jax.lax.dynamic_slice_in_dim(X, kb, nb, -2),
+            precision=precision)                                # (.., nb, n)
         colk = jax.lax.dynamic_slice_in_dim(X, kb, nb, -1)      # (.., n, nb)
-        X = X - colk @ rowk
-        X = jax.lax.dynamic_update_slice_in_dim(X, -colk @ P, kb, -1)
+        X = X - jnp.matmul(colk, rowk, precision=precision)
+        X = jax.lax.dynamic_update_slice_in_dim(
+            X, -jnp.matmul(colk, P, precision=precision), kb, -1)
         X = jax.lax.dynamic_update_slice_in_dim(X, rowk, kb, -2)
         # pivot block: overwritten by the row write above (holds ~I); set P
         Xrow = jax.lax.dynamic_slice_in_dim(X, kb, nb, -2)

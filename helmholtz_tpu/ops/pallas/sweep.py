@@ -151,7 +151,11 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
         u = CArray(u.re[:, None, :], u.im[:, None, :])
         carry0 = CArray(carry0.re[None, :], carry0.im[None, :])
     S, nrhs, n = u.re.shape
-    assert (S <= Mg) if mode == "fwd" else (S == Mg), (S, Mg)
+    # Mg == 1 with S > 1 is the shared-G family (row-invariant velocity):
+    # one corner inverse broadcast over every sweep step — the panel gets
+    # DMA'd once and stays VMEM-resident instead of streaming (S, n, n).
+    shared = Mg == 1 and S > 1
+    assert shared or ((S <= Mg) if mode == "fwd" else (S == Mg)), (S, Mg)
     dtype = u.re.dtype
 
     u2 = _pack_rows(u, n_pad)                          # (S, 2, R, n_pad)
@@ -164,10 +168,12 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     nr = n_pad // br
 
     if mode == "fwd":
-        g_map = lambda m, r: (m, r, 0)
+        g_map = (lambda m, r: (0, r, 0)) if shared else \
+            (lambda m, r: (m, r, 0))
         row_map = lambda m, r: (m, 0, 0, 0)
     else:
-        g_map = lambda m, r: (Mg - 1 - m, r, 0)
+        g_map = (lambda m, r: (0, r, 0)) if shared else \
+            (lambda m, r: (Mg - 1 - m, r, 0))
         row_map = lambda m, r: (S - 1 - m, 0, 0, 0)
 
     g_spec = pl.BlockSpec((1, br, n_pad), g_map, memory_space=pltpu.VMEM)

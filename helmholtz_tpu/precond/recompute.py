@@ -1,0 +1,211 @@
+"""Recompute-G sweeping preconditioner: the 'recompute' point of the
+store-vs-recompute-vs-compress factor-strategy frontier (SURVEY.md
+section 7.3 item 1; VERDICT round 2 item 6).
+
+The stored strategy (`sweeping.SweepingPreconditioner`) keeps the full
+(M, n, n) corner-inverse stack G — the framework's memory giant and the
+TPU analog of the reference's 15 GB of retained SuperLU factors
+(code.py:348-353, 590).  This module keeps NO factor state at all: each
+application re-assembles and re-factors the moving-PML subgrids in
+O(chunk * n^2)-sized pieces while the sweep passes through them, so the
+at-rest footprint is the velocity field plus the H_F block-Thomas stack —
+O(n^2) total.  The trade is ~2x the factorization flops per application
+(each of the two sweeps regenerates the chunks it consumes), which the
+matrix-fraction factorization (`sweeping._schur_corner_inverse_fraction`)
+makes affordable.
+
+Capacity math at n = 2047 (the BASELINE config 4/5 grid): stored G needs
+~67 GB f32 / ~33 GB bf16 — beyond one chip — while this variant needs
+~0.5 GB peak, so single-chip solves become possible at any n whose
+*vectors* fit.  The distributed path (`dist`) remains the fast option at
+scale; recompute is the single-chip capacity fallback and the measured
+second point of the frontier (bench capacity artifact).
+
+Rematerialization-over-storage is the standard TPU trade
+(jax.checkpoint's logic applied to a factorization instead of
+activations); the chunked re-factor inside the sweep keeps every inverse
+batched on the MXU exactly like the setup path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.complexlib import CArray
+from ..core.sparse import Stencil5
+from ..fd import stencil as fd_stencil
+from .sweeping import (_block_thomas_solve, _schur_corner_inverse_fraction,
+                       _schur_t_stack)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["wave_num", "const", "alpha", "c_full", "TF",
+                 "hf_cs", "hf_cn", "a_cs", "a_cn"],
+    meta_fields=["n", "b", "fidelity", "chunk", "schur_block",
+                 "d2_replace"],
+)
+@dataclasses.dataclass(frozen=True)
+class RecomputeSweepingPreconditioner:
+    """Factor-free preconditioner state: scalars + velocity + H_F factors.
+
+    At-rest memory is O(n^2) (c_full, TF, coupling rows) — no G stack.
+    `chunk` subgrids are re-factored per sweep stage; None = auto-clamped
+    to bound the factor workspace exactly like `factor_corner_inverses`.
+    """
+
+    wave_num: jax.Array
+    const: jax.Array
+    alpha: jax.Array
+    c_full: jax.Array             # (n+2, n+2) real velocity field
+    TF: CArray                    # (b, n, n) H_F Schur-inverse stack
+    hf_cs: CArray
+    hf_cn: CArray
+    a_cs: CArray                  # (L, n) global interlayer couplings
+    a_cn: CArray
+    n: int
+    b: int
+    fidelity: str
+    chunk: int | None
+    schur_block: int
+    d2_replace: bool
+
+    @property
+    def grid_shape(self):
+        return self.a_cs.shape
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        L, n = self.grid_shape
+        return apply_recompute(self, x.reshape(L, n)).reshape(-1)
+
+
+def setup_recompute(n: int, b: int, wave_num, const, alpha, c_full, *,
+                    A: Stencil5, fidelity: str = "corrected",
+                    hf_full_coupling: bool = True, d2_replace: bool = True,
+                    chunk: int | None = None, schur_block: int = 1,
+                    ) -> RecomputeSweepingPreconditioner:
+    """'Factor' the recompute preconditioner: only H_F is actually factored
+    (its block-Thomas stack is needed against full-length vectors at every
+    apply); the subgrid family is re-derived from (scalars, c_full) inside
+    each application."""
+    HF = fd_stencil.extract_hf_stencil(A, b, full_coupling=hf_full_coupling)
+    TF = _schur_t_stack(HF)
+    wf = jnp.result_type(float)
+    as_pair = lambda z: z if isinstance(z, CArray) else CArray.of(z)
+    return RecomputeSweepingPreconditioner(
+        wave_num=jnp.asarray(wave_num, wf), const=jnp.asarray(const, wf),
+        alpha=jnp.asarray(alpha, wf), c_full=jnp.asarray(c_full),
+        TF=as_pair(TF), hf_cs=as_pair(HF.cs), hf_cn=as_pair(HF.cn),
+        a_cs=as_pair(A.cs), a_cn=as_pair(A.cn),
+        n=n, b=b, fidelity=fidelity, chunk=chunk, schur_block=schur_block,
+        d2_replace=d2_replace)
+
+
+def _chunk_g(R: RecomputeSweepingPreconditioner, k0, chunk, cdtype):
+    """Corner inverses G_k, k = k0..k0+chunk-1 (G_k acts on grid row b+k),
+    re-assembled from the velocity field and re-factored on the fly."""
+    n, b = R.n, R.b
+    h = 1.0 / (n + 1)
+    eta = b * h
+    omega = (2.0 * jnp.pi * R.wave_num + 1j * R.alpha).astype(cdtype)
+    rows = b + k0 + jnp.arange(chunk)
+    hm = fd_stencil.build_hm_stencils_rows(
+        rows, n, b, R.const, eta, omega, h, R.c_full,
+        fidelity=R.fidelity, complex_dtype=cdtype)
+    return _schur_corner_inverse_fraction(hm, block_layers=R.schur_block)
+
+
+def apply_recompute(R: RecomputeSweepingPreconditioner,
+                    f: jax.Array) -> jax.Array:
+    """One sweep solve u ~= A^{-1} f with G rematerialized chunkwise.
+
+    Identical algebra to `sweeping.apply_preconditioner` (corrected D2 /
+    as-shipped switch included); the lax.scan over sweep rows is replaced
+    by a fori_loop over chunks, each re-factoring `chunk` subgrids and
+    scanning through them.
+    """
+    b = R.b
+    L, n = R.grid_shape
+    cdtype = (R.TF.re.dtype.type(0) + 1j * R.TF.im.dtype.type(0)).dtype
+    TF = R.TF.cplx
+    hf_cs, hf_cn = R.hf_cs.cplx, R.hf_cn.cplx
+    a_cs, a_cn = R.a_cs.cplx, R.a_cn.cplx
+    hi = jax.lax.Precision.HIGHEST
+
+    M = L - b
+    chunk = R.chunk or max(4, min(128, int(9.0e7) // (n * n)))
+    chunk = min(chunk, M)
+    n_chunks = -(-M // chunk)
+
+    u = f
+    TFuF = _block_thomas_solve(TF, hf_cs, hf_cn, u[:b])
+    u = u.at[b].add(-a_cs[b] * TFuF[b - 1])
+
+    def g_matvec(g, v):
+        return jnp.matmul(g, v, precision=hi)
+
+    # ---- forward sweep: u_j -= cs_j * (G_{j-1} u_{j-1}), j = b+1..L-1 ----
+    # step k (0-based) uses G_k, reads row b+k, writes row b+k+1; chunk ci
+    # covers k in [k0, k0+chunk), k0 clamped so the last chunk overlaps
+    # (duplicate G computation, idempotent row updates are NOT — so each
+    # chunk's scan skips steps below its true start).
+    def fwd_chunk(ci, u):
+        k0 = jnp.minimum(ci * chunk, M - 1 - 0)  # steps k = 0..M-2
+        k0 = jnp.minimum(k0, jnp.maximum(M - 1 - chunk, 0))
+        G = _chunk_g(R, k0, chunk, cdtype)
+        done_before = ci * chunk                 # steps already applied
+
+        def step(i, u):
+            k = k0 + i
+            active = (k >= done_before) & (k <= M - 2)
+            row = jax.lax.dynamic_index_in_dim(u, b + k, 0, keepdims=False)
+            nxt = jax.lax.dynamic_index_in_dim(u, b + k + 1, 0,
+                                               keepdims=False)
+            cs_j = jax.lax.dynamic_index_in_dim(a_cs, b + k + 1, 0,
+                                                keepdims=False)
+            new = nxt - cs_j * g_matvec(G[i], row)
+            new = jnp.where(active, new, nxt)
+            return jax.lax.dynamic_update_index_in_dim(u, new, b + k + 1, 0)
+
+        return jax.lax.fori_loop(0, chunk, step, u)
+
+    n_fwd_chunks = -(-(M - 1) // chunk) if M > 1 else 0
+    u = jax.lax.fori_loop(0, n_fwd_chunks, fwd_chunk, u)
+
+    # ---- fused diagonal + backward sweep, j = L-1..b (G_j at k = j-b) ----
+    def bwd_chunk(ci, u):
+        # chunks descend: chunk ci covers k in [M - (ci+1)*chunk, M - ci*chunk)
+        k0 = jnp.maximum(M - (ci + 1) * chunk, 0)
+        G = _chunk_g(R, k0, chunk, cdtype)
+        done_above = M - ci * chunk              # first k already applied
+
+        def step(i, u):
+            k = k0 + (chunk - 1 - i)             # descend within the chunk
+            active = (k < done_above) & (k >= 0)
+            row = jax.lax.dynamic_index_in_dim(u, b + k, 0, keepdims=False)
+            above = jnp.where(
+                k + 1 <= M - 1,
+                jax.lax.dynamic_index_in_dim(
+                    u, jnp.minimum(b + k + 1, L - 1), 0, keepdims=False),
+                jnp.zeros_like(row))
+            cn_j = jnp.where(
+                k <= M - 2,
+                jax.lax.dynamic_index_in_dim(a_cn, b + k, 0, keepdims=False),
+                jnp.zeros_like(a_cn[0]))
+            if R.d2_replace:
+                new = g_matvec(G[k - k0], row - cn_j * above)
+            else:
+                new = row - g_matvec(G[k - k0], row + cn_j * above)
+            new = jnp.where(active, new, row)
+            return jax.lax.dynamic_update_index_in_dim(u, new, b + k, 0)
+
+        return jax.lax.fori_loop(0, chunk, step, u)
+
+    u = jax.lax.fori_loop(0, n_chunks, bwd_chunk, u)
+
+    rhs = jnp.zeros_like(TFuF).at[b - 1].set(a_cn[b - 1] * u[b])
+    uF = TFuF - _block_thomas_solve(TF, hf_cs, hf_cn, rhs)
+    return jnp.concatenate([uF, u[b:]], axis=0)

@@ -139,9 +139,111 @@ def _schur_corner_inverse(H: Stencil5):
     return T_last
 
 
+def _tridiag_matmul(cw, cc, ce, X):
+    """(..., n, n) product of the tridiagonal matrix with fields (..., n)
+    against a dense X — three shifted row-scaled adds (VPU, O(n^2)), never a
+    materialized dense tridiagonal or an MXU matmul."""
+    Y = cc[..., :, None] * X
+    Y = Y.at[..., 1:, :].add(cw[..., 1:, None] * X[..., :-1, :])
+    Y = Y.at[..., :-1, :].add(ce[..., :-1, None] * X[..., 1:, :])
+    return Y
+
+
+def _schur_corner_inverse_fraction(H: Stencil5, block_layers: int = 4):
+    """T_{L-1} = S_{L-1}^{-1} via fundamental-solution propagation of the
+    layer recursion — the flop-lean TPU formulation of the subgrid
+    factorization (the reference pays a full SuperLU factorization per
+    subgrid, code.py:349-352; `_schur_corner_inverse` pays one dense n x n
+    inversion per LAYER, i.e. 2*L*n^3 complex MACs per subgrid).
+
+    Let V_l solve the three-term matrix recurrence of the block-tridiagonal
+    subgrid (diagonal blocks D_l tridiagonal, couplings diag(cs)/diag(cn)):
+
+        diag(cs_l) V_{l-1} + D_l V_l + diag(cn_l) V_{l+1} = 0,
+        V_0 = I,  V_1 = -diag(1/cn_0) D_0.
+
+    Then the layer Schur complements satisfy (inductively)
+        S_l = D_l + diag(cs_l) V_{l-1} V_l^{-1},
+    so the corner inverse needs NO intermediate inversions:
+        T_{L-1} = V_{L-1} @ W^{-1},
+        W = D_{L-1} V_{L-1} + diag(cs_{L-1}) V_{L-2}.
+
+    Each propagation step is a tridiagonal-times-dense product plus diagonal
+    scalings — O(n^2) on the VPU, no MXU, no inversion.  The recurrence is a
+    transfer-matrix iteration whose iterates grow like rho^l and whose
+    columns collapse onto the dominant subspace, so every `block_layers`
+    steps the pair is RENORMALIZED by the right-invariance of the fraction:
+    (V_{l-1}, V_l) -> (V_{l-1} V_l^{-1}, I) — one dense inversion + matmul.
+    With b = 12 and block_layers = 4 that is 3 dense inversions per subgrid
+    instead of 12 (~2.7x fewer O(n^3) flops).
+
+    MEASURED NUMERICS CEILING (why this is NOT the TPU default): rho is
+    the spread of the layer transfer spectrum — ~6 at oracle scales
+    (n = 63, C = 61; k = 4 gives 1e-4 f32 G error, fine) but ~1e2 at the
+    production configs (n = 1023, C = 100: |V| reaches 1e8 after 4 layers
+    and kappa(V) exceeds 1/eps_f32 — even pivoted LAPACK cannot invert the
+    renormalization in f32, measured V@inv-I residual ~2).  At k = 2 the
+    collapses survive but must run at HIGHEST precision (kappa ~ 1e4),
+    which costs more wall-time than the direct recursion's
+    DEFAULT-precision inverses of the diagonally dominant S blocks
+    (26.6 vs 41-49 complex-real TF/s measured).  Kept as an explicit
+    option for small-n / float64 runs and as the measured second point of
+    the factorization-strategy frontier.
+
+    block_layers = 1 falls back to the direct recursion.
+    """
+    L = H.cc.shape[-2]
+    k = max(1, min(block_layers, L - 1))
+    if k == 1 or L < 3:
+        return _schur_corner_inverse(H)
+    hi = jax.lax.Precision.HIGHEST
+
+    def layer(f, l):
+        return jax.lax.dynamic_index_in_dim(f, l, axis=-2, keepdims=False)
+
+    def vstep(carry, l):
+        """V_{l+1} = -(1/cn_l) (D_l V_l + cs_l V_{l-1})."""
+        Vm1, V = carry
+        num = (_tridiag_matmul(layer(H.cw, l), layer(H.cc, l),
+                               layer(H.ce, l), V)
+               + layer(H.cs, l)[..., :, None] * Vm1)
+        # reciprocal on the (..., n) coupling vector, broadcast-multiplied —
+        # never an elementwise complex divide over the (..., n, n) matrix
+        Vn = (-1.0 / layer(H.cn, l))[..., :, None] * num
+        return (V, Vn), None
+
+    eye = jnp.broadcast_to(jnp.eye(H.cc.shape[-1], dtype=H.cc.dtype),
+                           (*H.cc.shape[:-2], H.cc.shape[-1],
+                            H.cc.shape[-1]))
+    # V_0 = I, V_1 = -(1/cn_0) D_0  (tridiagonal rows of layer 0)
+    V = (-1.0 / H.cn[..., 0, :])[..., :, None] * _dense_tridiag(
+        H.cw[..., 0, :], H.cc[..., 0, :], H.ce[..., 0, :])
+    Vm1, V = eye, V
+    l = 1                      # V currently holds V_l
+    since_renorm = 1
+    while l < L - 1:
+        (Vm1, V), _ = vstep((Vm1, V), jnp.asarray(l))
+        l += 1
+        since_renorm += 1
+        if since_renorm >= k and l < L - 1:
+            # V is NOT diagonally dominant (transfer-matrix iterate) —
+            # unpivoted GJ needs full-f32 passes here (see batched_inverse)
+            Vm1 = jnp.matmul(Vm1, batched_inverse(V, precision=hi),
+                             precision=hi)
+            V = eye
+            since_renorm = 0
+    # final collapse at layer L-1: T = V_{L-1} @ W^{-1}
+    W = (_tridiag_matmul(H.cw[..., L - 1, :], H.cc[..., L - 1, :],
+                         H.ce[..., L - 1, :], V)
+         + H.cs[..., L - 1, :][..., :, None] * Vm1)
+    return jnp.matmul(V, batched_inverse(W, precision=hi), precision=hi)
+
+
 def factor_corner_inverses(hm: Stencil5, *, n_pad: int, g_dtype,
                            setup_chunk: int = 128,
-                           zero_mask: jax.Array | None = None) -> CArray:
+                           zero_mask: jax.Array | None = None,
+                           schur_block: int | None = None,
+                           stride: int = 1) -> CArray:
     """Factor a batched subgrid family (Stencil5 fields (M, b, n)) into its
     corner-inverse stack G: a split-real CArray (M, n_pad, n_pad), zero
     lane-padded, stored as `g_dtype`.
@@ -157,11 +259,41 @@ def factor_corner_inverses(hm: Stencil5, *, n_pad: int, g_dtype,
     subgrid).  Applied per chunk, so masked entries still cost their
     factorization flops but never a full-stack pass.
 
+    `schur_block`: layers between renormalizations of the fraction
+    recursion (`_schur_corner_inverse_fraction`); None = auto = 1 (the
+    direct recursion — measured faster AND stabler at production scale;
+    see the fraction docstring for the numerics ceiling that rules out
+    k >= 2 as a default).
+
+    `stride` > 1 factors only every stride-th subgrid and linearly
+    interpolates the corner inverses between samples — setup flops divided
+    by ~stride.  Valid because G_m is a SMOOTH function of m: consecutive
+    subgrids share the whole moved-PML structure and differ only by a
+    one-row shift of the velocity window (fd.stencil.build_hm_stencils
+    docstring), so for velocity fields smooth on the scale of stride rows
+    the interpolation error is O((stride*h / feature_scale)^2) — e.g.
+    ~2e-4 relative at n = 1023 / stride 8 for the c1 lens, far below the
+    bf16 G-storage rounding (4e-3) that already leaves GMRES iteration
+    counts unchanged.  Exact (any stride) for row-invariant media.  The
+    endpoint m = M-1 is always a sample.  Iteration-count parity vs
+    stride = 1 is the guard — tests pin it at oracle scale and bench.py
+    records it at n = 1023.  Not combined with `zero_mask` (the
+    distributed per-band path keeps stride = 1).
+
     Peak memory is the final G plus ~3 * chunk * n^2 complex words of
     batched-inverse workspace; the chunk is clamped so that workspace stays
-    bounded as n grows.
+    bounded as n grows.  The strided path additionally holds the sample
+    stack (~(M/stride) * n_pad^2 f32 pairs) while interpolating.
     """
     M, _, n = hm.cc.shape
+    if schur_block is None:
+        schur_block = 1
+    corner = partial(_schur_corner_inverse_fraction, block_layers=schur_block)
+
+    if stride > 1 and zero_mask is None and M > stride:
+        return _factor_strided(hm, n_pad=n_pad, g_dtype=g_dtype,
+                               setup_chunk=setup_chunk,
+                               schur_block=schur_block, stride=stride)
     # bound peak setup memory: a few (chunk, n, n) complex buffers live
     # inside the batched inverse, so scale the chunk down with the grid.
     setup_chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
@@ -175,7 +307,7 @@ def factor_corner_inverses(hm: Stencil5, *, n_pad: int, g_dtype,
         return x.astype(g_dtype)
 
     if M <= setup_chunk:
-        T = _schur_corner_inverse(hm)
+        T = corner(hm)
         return CArray(pad_g(T.real, 0), pad_g(T.imag, 0))
 
     # Chunked fori_loop writing the split-real G buffers in place
@@ -195,11 +327,60 @@ def factor_corner_inverses(hm: Stencil5, *, n_pad: int, g_dtype,
         h_chunk = jax.tree.map(
             lambda f: jax.lax.dynamic_slice_in_dim(f, start, setup_chunk, 0),
             hm)
-        Tc = _schur_corner_inverse(h_chunk)
+        Tc = corner(h_chunk)
         G_re = jax.lax.dynamic_update_slice_in_dim(
             G_re, pad_g(Tc.real, start), start, 0)
         G_im = jax.lax.dynamic_update_slice_in_dim(
             G_im, pad_g(Tc.imag, start), start, 0)
+        return (G_re, G_im)
+
+    G_re, G_im = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.zeros((M, n_pad, n_pad), g_dtype),
+         jnp.zeros((M, n_pad, n_pad), g_dtype)))
+    return CArray(G_re, G_im)
+
+
+def _factor_strided(hm: Stencil5, *, n_pad: int, g_dtype,
+                    setup_chunk: int, schur_block: int,
+                    stride: int) -> CArray:
+    """Strided factorization: factor every stride-th subgrid exactly, lerp
+    the corner inverses in between (see factor_corner_inverses docstring).
+    """
+    M, _, n = hm.cc.shape
+    wf = hm.cc.real.dtype                     # working float
+    ks_list = list(range(0, M, stride))
+    if ks_list[-1] != M - 1:
+        ks_list.append(M - 1)
+    Ms = len(ks_list)
+    ks_arr = jnp.asarray(ks_list)
+    hm_s = jax.tree.map(lambda f: f[ks_arr], hm)
+    # samples at working precision, already lane-padded (zero pads lerp to
+    # zero, so interpolation happens in padded space)
+    Ts = factor_corner_inverses(hm_s, n_pad=n_pad, g_dtype=wf,
+                                setup_chunk=setup_chunk,
+                                schur_block=schur_block)
+
+    wchunk = max(4, min(setup_chunk, int(9.0e7) // (n_pad * n_pad)))
+    wchunk = min(wchunk, M)
+    n_chunks = -(-M // wchunk)
+
+    def body(i, bufs):
+        G_re, G_im = bufs
+        start = jnp.minimum(i * wchunk, M - wchunk)
+        m = start + jnp.arange(wchunk)
+        seg = jnp.minimum(m // stride, Ms - 2)
+        lo, hi = ks_arr[seg], ks_arr[seg + 1]
+        w = ((m - lo) / (hi - lo)).astype(wf)[:, None, None]
+
+        def lerp(T):
+            return ((1.0 - w) * jnp.take(T, seg, axis=0)
+                    + w * jnp.take(T, seg + 1, axis=0)).astype(g_dtype)
+
+        G_re = jax.lax.dynamic_update_slice_in_dim(
+            G_re, lerp(Ts.re), start, 0)
+        G_im = jax.lax.dynamic_update_slice_in_dim(
+            G_im, lerp(Ts.im), start, 0)
         return (G_re, G_im)
 
     G_re, G_im = jax.lax.fori_loop(
@@ -287,7 +468,9 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
                          d2_replace: bool = True,
                          setup_chunk: int = 128,
                          pad_lanes: bool | None = None,
-                         g_dtype=None) -> SweepingPreconditioner:
+                         g_dtype=None,
+                         schur_block: int | None = None,
+                         factor_stride: int = 1) -> SweepingPreconditioner:
     """Algorithm 2.3 analog: factor H_F and every H_m (code.py:345-353).
 
     `hm` is the batched subgrid family from `fd.stencil.build_hm_stencils`
@@ -317,7 +500,9 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
     n_pad = (-(-n // 128) * 128) if pad_lanes else n
     g_dtype = g_dtype or hm.cc.real.dtype
     G = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=g_dtype,
-                               setup_chunk=setup_chunk)
+                               setup_chunk=setup_chunk,
+                               schur_block=schur_block,
+                               stride=factor_stride)
 
     HF = fd_stencil.extract_hf_stencil(A, b, full_coupling=hf_full_coupling)
     TF = _schur_t_stack(HF)
@@ -364,6 +549,12 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
     if impl == "auto":
         impl = ("pallas" if (jax.default_backend() == "tpu"
                              and n_pad % 128 == 0) else "xla")
+    M_total = L - b                # number of sweep rows
+    shared_g = Gre.shape[0] == 1 and M_total > 1
+    # shared-G family (row-invariant velocity, e.g. the c2 waveguide under
+    # corrected sampling): every subgrid H_m is the same matrix, so G holds
+    # ONE corner inverse used at every sweep step — the (n, n) panel stays
+    # VMEM/cache-resident instead of streaming an (M, n, n) stack from HBM.
     u = f
 
     def g_matvec(gre, gim, v):
@@ -386,7 +577,6 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
     TFuF = _block_thomas_solve(TF, hf_cs, hf_cn, u[:b])
     u = u.at[b].add(-a_cs[b] * TFuF[b - 1])
 
-    M_total = Gre.shape[0]
     cn_top_zeroed = jnp.concatenate(
         [a_cn[b:-1], jnp.zeros_like(a_cn[-1:])], axis=0)
 
@@ -411,6 +601,7 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
         ks = jnp.arange(M_total - 1)
 
         def g_row(k):
+            k = 0 if shared_g else k
             return (jax.lax.dynamic_index_in_dim(Gre, k, 0, keepdims=False),
                     jax.lax.dynamic_index_in_dim(Gim, k, 0, keepdims=False))
 
@@ -481,8 +672,8 @@ def apply_preconditioner_multi(P: SweepingPreconditioner, F: jax.Array,
     TFuF = thomas(u[:, :b])                               # (B, b, n)
     u = u.at[:, b].add(-a_cs[b] * TFuF[:, b - 1])
 
-    M_total = P.G.re.shape[0]
-    cn_top_zeroed = jnp.concatenate(
+    M_total = L - b               # sweep rows (G may be a shared-G single
+    cn_top_zeroed = jnp.concatenate(  # entry broadcast over all of them)
         [a_cn[b:-1], jnp.zeros_like(a_cn[-1:])], axis=0)
 
     if M_total > 1:

@@ -1,5 +1,6 @@
 """Pallas kernel oracles (interpreter mode on CPU — SURVEY.md section 7.1
 'interpret-mode path so the whole stack runs on CPU')."""
+import jax
 import numpy as np
 
 import jax.numpy as jnp
@@ -114,3 +115,46 @@ def test_pallas_gj_inverse_matches_linalg():
     X = pallas_gj_inverse(CArray.of(jnp.asarray(A)), interpret=True)
     np.testing.assert_allclose(X.to_np(), np.linalg.inv(A),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_pallas_sweep_shared_g_matches_full_stack():
+    """Shared-G broadcast (Mg == 1, the row-invariant-velocity fast path)
+    must reproduce the full-stack sweep when every G entry is identical —
+    c2 problems under corrected sampling (problems.ROW_INVARIANT_VELOCITY),
+    both Pallas (interpret) and XLA paths, single and batched RHS."""
+    import dataclasses
+    from helmholtz_tpu.core.complexlib import CArray as CA
+    from helmholtz_tpu.fd import stencil
+    from helmholtz_tpu.precond.sweeping import (
+        apply_preconditioner, apply_preconditioner_multi,
+        setup_preconditioner)
+
+    cfg = HelmholtzConfig(n=33, b=6, wave_num=2.0, const=20.0,
+                          fidelity="corrected")
+    prob = assemble_problem(cfg, "c2_f1", complex_dtype=jnp.complex128)
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity,
+                                   complex_dtype=jnp.complex128)
+    # c2 really is row-invariant: the whole family equals its first entry
+    for f in (hm.cc, hm.cw, hm.ce, hm.cs, hm.cn):
+        np.testing.assert_array_equal(np.asarray(f),
+                                      np.asarray(f[:1]).repeat(f.shape[0], 0))
+    P_full = setup_preconditioner(prob.A, hm, cfg.b, pad_lanes=True)
+    hm1 = jax.tree.map(lambda f: f[:1], hm)
+    P_one = setup_preconditioner(prob.A, hm1, cfg.b, pad_lanes=True)
+    assert P_one.G.re.shape[0] == 1
+
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+    for impl in ("xla", "pallas"):
+        ref = apply_preconditioner(P_full, f, impl=impl)
+        got = apply_preconditioner(P_one, f, impl=impl)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+    F = jnp.stack([f, 2.0 * f, f.conj()])
+    refm = apply_preconditioner_multi(P_full, F, impl="pallas")
+    gotm = apply_preconditioner_multi(P_one, F, impl="pallas")
+    np.testing.assert_allclose(np.asarray(gotm), np.asarray(refm),
+                               rtol=1e-12, atol=1e-12)

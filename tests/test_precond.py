@@ -168,3 +168,102 @@ def test_all_four_problem_instances_solve(problem, C, expected_max):
     assert r.converged, (problem, r.iterations, r.residual_norm)
     assert r.iterations <= expected_max
     assert r.true_residual < 5e-2    # legacy preconditioned-tol semantics
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_fraction_schur_matches_direct(k):
+    """The matrix-fraction corner-inverse recursion (one inversion per
+    `schur_block` layers, O(n^2) propagation between — the TPU setup fast
+    path) must agree with the direct per-layer Schur recursion, which is
+    itself pinned to dense numpy inverses by
+    test_corner_inverse_matches_dense."""
+    from helmholtz_tpu.precond.sweeping import (
+        _schur_corner_inverse, _schur_corner_inverse_fraction)
+
+    cfg = HelmholtzConfig(n=63, b=12, wave_num=4.0, const=61.0,
+                          fidelity="as-shipped")
+    prob = assemble_problem(cfg)
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    T_direct = np.asarray(_schur_corner_inverse(hm))
+    T_frac = np.asarray(_schur_corner_inverse_fraction(hm, block_layers=k))
+    scale = np.abs(T_direct).max()
+    # f64: growth rho^k of the fraction iterates costs ~k digits; k=4
+    # measured at 1.5e-13 relative on this family
+    np.testing.assert_allclose(T_frac, T_direct, rtol=0, atol=1e-9 * scale)
+
+
+def test_fraction_schur_via_setup_converges():
+    """End-to-end: setup with schur_block=4 (the TPU default) preserves
+    the few-iteration GMRES convergence on the oracle problem."""
+    cfg, prob, P = _setup(n=63, b=12, wave_num=4.0, const=61.0,
+                          schur_block=4)
+    mv = lambda v: stencil_matvec_flat(prob.A, v)
+    res = gmres(mv, prob.f_vec, M=P, rtol=1e-3, restart=20, maxiter=30)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 4
+
+
+def test_factor_stride_interpolation_accuracy():
+    """Strided factorization (factor every R-th subgrid, lerp between) must
+    stay within the bf16-G-storage tolerance that is known to preserve
+    iteration counts, and must leave end-to-end GMRES iterations unchanged
+    at oracle scale."""
+    from helmholtz_tpu.precond.sweeping import factor_corner_inverses
+
+    cfg, prob, P = _setup(n=63, b=12, wave_num=4.0, const=61.0)
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    G1 = factor_corner_inverses(hm, n_pad=cfg.n, g_dtype=jnp.float64,
+                                setup_chunk=16)
+    G2 = factor_corner_inverses(hm, n_pad=cfg.n, g_dtype=jnp.float64,
+                                setup_chunk=16, stride=2)
+    scale = float(jnp.abs(G1.re).max())
+    err = max(float(jnp.abs(G2.re - G1.re).max()),
+              float(jnp.abs(G2.im - G1.im).max())) / scale
+    assert err < 4e-3, err                  # bf16-storage-level tolerance
+
+    from helmholtz_tpu.driver import run_solver
+    r1 = run_solver(63, 12, 4.0, 61.0, rtol=1e-3, maxiter=30,
+                    factor_stride=1)
+    r2 = run_solver(63, 12, 4.0, 61.0, rtol=1e-3, maxiter=30,
+                    factor_stride=2)
+    assert r2.converged and r2.iterations == r1.iterations
+
+
+def test_recompute_preconditioner_matches_stored():
+    """The factor-free recompute apply (precond.recompute) must reproduce
+    the stored-G apply bit-for-bit up to roundoff, for both D2 variants and
+    chunk sizes that do / do not divide M."""
+    import dataclasses
+    from helmholtz_tpu.precond.recompute import (apply_recompute,
+                                                 setup_recompute)
+    from helmholtz_tpu.precond.sweeping import apply_preconditioner
+
+    cfg, prob, P = _setup(n=33, b=6, wave_num=2.0, const=20.0,
+                          pad_lanes=False)
+    hm = None  # unused; _setup already factored P
+    rng = np.random.default_rng(5)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+    for d2 in (True, False):
+        R = setup_recompute(cfg.n, cfg.b, cfg.wave_num, cfg.const,
+                            cfg.alpha, prob.c_full, A=prob.A,
+                            fidelity=cfg.fidelity, d2_replace=d2, chunk=7)
+        Pd = dataclasses.replace(P, d2_replace=d2)
+        ref = apply_preconditioner(Pd, f, impl="xla")
+        got = apply_recompute(R, f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12 * float(
+                                       np.abs(np.asarray(ref)).max()))
+
+
+def test_recompute_precond_solves_end_to_end():
+    from helmholtz_tpu.driver import run_solver
+
+    r = run_solver(63, 12, 4.0, 61.0, precond="recompute", rtol=1e-3,
+                   maxiter=30)
+    assert r.converged
+    assert r.iterations <= 4
