@@ -33,12 +33,20 @@ def _oracle_iters():
     return out
 
 
-def _solve(n, wn, C, **kw):
+def _solve(n, wn, C, reps=3, **kw):
+    """Median-of-reps measurement (tunnel jitter is large): returns the
+    report whose solve_time is the median, plus the spread."""
     from helmholtz_tpu.driver import run_solver
 
-    # first call compiles + populates caches; second call is the measurement
+    # first call compiles + populates caches; subsequent are measurements
     run_solver(n, 12, wn, C, **kw)
-    return run_solver(n, 12, wn, C, **kw)
+    rs = [run_solver(n, 12, wn, C, **kw) for _ in range(reps)]
+    rs.sort(key=lambda r: r.solve_time)
+    med = rs[len(rs) // 2]
+    med.config["solve_spread_s"] = [rs[0].solve_time, rs[-1].solve_time]
+    med.config["init_spread_s"] = [min(r.init_time for r in rs),
+                                   max(r.init_time for r in rs)]
+    return med
 
 
 def main():
@@ -74,6 +82,12 @@ def main():
         except Exception as e:
             print(f"spmv roofline failed: {e}", file=sys.stderr)
             spmv = {}
+        try:
+            from helmholtz_tpu.bench.roofline import measure_sweep
+            sweep = measure_sweep(n=n, g_dtype="bf16")
+        except Exception as e:
+            print(f"sweep roofline failed: {e}", file=sys.stderr)
+            sweep = {}
         vs = (ref_s / r3.solve_time) if r3.converged and r3.solve_time > 0 \
             else 0.0
         o3, o6 = oracle.get((n, 1e-3)), oracle.get((n, 1e-6))
@@ -100,7 +114,21 @@ def main():
             "spmv_gnnz_per_s": round(spmv.get("gnnz_per_s", 0.0), 2),
             "spmv_roofline_fraction": round(
                 spmv.get("roofline_fraction", 0.0), 3),
+            "spmv_gb_s_coeff_model": round(
+                spmv.get("effective_gb_per_s_coeff_traffic", 0.0), 1),
+            "spmv_gb_s_full_model": round(
+                spmv.get("effective_gb_per_s_full_traffic", 0.0), 1),
+            "measured_stream_bw_gb_s": round(
+                spmv.get("measured_stream_bw_gb_s", 0.0), 1),
+            "sweep_roofline_fraction": round(
+                sweep.get("roofline_fraction", 0.0), 3),
+            "sweep_s_per_apply": round(sweep.get("s_per_apply", 0.0), 4),
             "init_wall_s": round(r3.init_time, 2),
+            "init_spread_s": [round(t, 2) for t in
+                              r3.config.get("init_spread_s", [])],
+            "solve_spread_s": [round(t, 4) for t in
+                               r3.config.get("solve_spread_s", [])],
+            "factor_stride": r3.config.get("factor_stride"),
         }))
         return
     print(json.dumps({"metric": "gmres_solve_wall_s", "value": -1.0,

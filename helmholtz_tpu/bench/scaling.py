@@ -372,11 +372,20 @@ def scaling_report(*, strong_n=64, weak_rows_per_dev=16, b=3,
                   "only; run on a real slice for hardware numbers (see "
                   "module docstring recipe).  A SINGLE-RHS staged sweep "
                   "weak-scales as ~1/D by construction — the recursion is "
-                  "serial (SURVEY.md section 7.3 item 2) and stages add; "
-                  "the B=8 series (weak_apply_batched_rhs_b8) measures the "
-                  "batched-RHS claim: per-RHS time stays ~flat with D.  "
-                  "weak_solve_square_grids reports solve_s_per_iter to "
-                  "decouple iteration-count drift from scaling."),
+                  "serial (SURVEY.md section 7.3 item 2) and stages add.  "
+                  "The batched-RHS recovery claim decomposes as: (a) a "
+                  "stage's wall time is ~flat in B while G-traffic-bound "
+                  "— MEASURED ON THE REAL CHIP as 7.9x multi-RHS "
+                  "throughput at B=8 (README / solve.batched); (b) the "
+                  "staged schedule carries a batch unchanged — validated "
+                  "here (weak_apply_batched_rhs_b8 decays like the B=1 "
+                  "series on VIRTUAL devices, which share host cores, so "
+                  "B=8's 8x flops cost 8x wall regardless of staging; "
+                  "virtual-mesh efficiency cannot exhibit (a) and the "
+                  "B-series is recorded as harness-validation raw data, "
+                  "not a hardware claim).  weak_solve_square_grids "
+                  "reports solve_s_per_iter to decouple iteration-count "
+                  "drift from scaling."),
     }
 
 

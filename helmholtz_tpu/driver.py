@@ -114,10 +114,11 @@ def _factor_exact_stage(A_pair, *, b):
 
 
 @partial(jax.jit, static_argnames=("n", "b", "fidelity", "hf_full_coupling",
-                                   "d2_replace", "setup_chunk"))
+                                   "d2_replace", "setup_chunk",
+                                   "factor_stride"))
 def _factor_recompute_stage(A_pair, c_full, wave_num, const, alpha, *, n, b,
                             fidelity, hf_full_coupling, d2_replace,
-                            setup_chunk):
+                            setup_chunk, factor_stride=1):
     """Factor-free setup (precond='recompute'): only H_F is factored; the
     G stack is rematerialized chunkwise inside every apply — the
     'recompute' point of the store-vs-recompute frontier
@@ -128,7 +129,8 @@ def _factor_recompute_stage(A_pair, c_full, wave_num, const, alpha, *, n, b,
     R = setup_recompute(n, b, wave_num, const, alpha, c_full, A=A,
                         fidelity=fidelity, hf_full_coupling=hf_full_coupling,
                         d2_replace=d2_replace,
-                        chunk=None)   # auto-clamped per apply (memory-safe)
+                        chunk=None,   # auto-clamped per apply (memory-safe)
+                        factor_stride=factor_stride)
     return R        # already pairs-at-rest (CArray fields + real scalars)
 
 
@@ -283,7 +285,8 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
             A_pair, c_full, jnp.asarray(wave_num, wf),
             jnp.asarray(const, wf), jnp.asarray(alpha, wf), n=n, b=b,
             fidelity=fidelity, hf_full_coupling=hf_full_coupling,
-            d2_replace=d2_replace, setup_chunk=setup_chunk)
+            d2_replace=d2_replace, setup_chunk=setup_chunk,
+            factor_stride=factor_stride)
     elif precond == "exact":
         P_pair = _factor_exact_stage(A_pair, b=b)
     elif precond == "none":

@@ -46,7 +46,7 @@ from .sweeping import (_block_thomas_solve, _schur_corner_inverse_fraction,
     data_fields=["wave_num", "const", "alpha", "c_full", "TF",
                  "hf_cs", "hf_cn", "a_cs", "a_cn"],
     meta_fields=["n", "b", "fidelity", "chunk", "schur_block",
-                 "d2_replace"],
+                 "d2_replace", "factor_stride"],
 )
 @dataclasses.dataclass(frozen=True)
 class RecomputeSweepingPreconditioner:
@@ -72,6 +72,7 @@ class RecomputeSweepingPreconditioner:
     chunk: int | None
     schur_block: int
     d2_replace: bool
+    factor_stride: int = 1
 
     @property
     def grid_shape(self):
@@ -86,6 +87,7 @@ def setup_recompute(n: int, b: int, wave_num, const, alpha, c_full, *,
                     A: Stencil5, fidelity: str = "corrected",
                     hf_full_coupling: bool = True, d2_replace: bool = True,
                     chunk: int | None = None, schur_block: int = 1,
+                    factor_stride: int = 1,
                     ) -> RecomputeSweepingPreconditioner:
     """'Factor' the recompute preconditioner: only H_F is actually factored
     (its block-Thomas stack is needed against full-length vectors at every
@@ -101,21 +103,42 @@ def setup_recompute(n: int, b: int, wave_num, const, alpha, c_full, *,
         TF=as_pair(TF), hf_cs=as_pair(HF.cs), hf_cn=as_pair(HF.cn),
         a_cs=as_pair(A.cs), a_cn=as_pair(A.cn),
         n=n, b=b, fidelity=fidelity, chunk=chunk, schur_block=schur_block,
-        d2_replace=d2_replace)
+        d2_replace=d2_replace, factor_stride=factor_stride)
 
 
 def _chunk_g(R: RecomputeSweepingPreconditioner, k0, chunk, cdtype):
     """Corner inverses G_k, k = k0..k0+chunk-1 (G_k acts on grid row b+k),
-    re-assembled from the velocity field and re-factored on the fly."""
+    re-assembled from the velocity field and re-factored on the fly.
+
+    `R.factor_stride` > 1 factors only every stride-th subgrid of the
+    chunk and lerps between samples — the same smooth-in-m interpolation
+    as sweeping._factor_strided (stride-level error far below the
+    preconditioner tolerance; iteration parity is the guard), dividing the
+    per-apply re-factorization flops by ~stride."""
     n, b = R.n, R.b
     h = 1.0 / (n + 1)
     eta = b * h
     omega = (2.0 * jnp.pi * R.wave_num + 1j * R.alpha).astype(cdtype)
-    rows = b + k0 + jnp.arange(chunk)
-    hm = fd_stencil.build_hm_stencils_rows(
-        rows, n, b, R.const, eta, omega, h, R.c_full,
-        fidelity=R.fidelity, complex_dtype=cdtype)
-    return _schur_corner_inverse_fraction(hm, block_layers=R.schur_block)
+    stride = max(1, R.factor_stride)
+
+    def build(rows):
+        hm = fd_stencil.build_hm_stencils_rows(
+            rows, n, b, R.const, eta, omega, h, R.c_full,
+            fidelity=R.fidelity, complex_dtype=cdtype)
+        return _schur_corner_inverse_fraction(hm,
+                                              block_layers=R.schur_block)
+
+    if stride == 1 or chunk <= stride:
+        return build(b + k0 + jnp.arange(chunk))
+
+    S = -(-(chunk - 1) // stride) + 1
+    offs = jnp.minimum(jnp.arange(S) * stride, chunk - 1)
+    Ts = build(b + k0 + offs)
+    i = jnp.arange(chunk)
+    seg = jnp.minimum(i // stride, S - 2)
+    lo, hi = offs[seg], offs[seg + 1]
+    w = ((i - lo) / (hi - lo)).astype(Ts.real.dtype)[:, None, None]
+    return (1.0 - w) * Ts[seg] + w * Ts[seg + 1]
 
 
 def apply_recompute(R: RecomputeSweepingPreconditioner,
@@ -136,7 +159,10 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
     hi = jax.lax.Precision.HIGHEST
 
     M = L - b
-    chunk = R.chunk or max(4, min(128, int(9.0e7) // (n * n)))
+    # larger auto-chunk than the stored setup (no resident G stack to
+    # share HBM with): the chunk G buffer is the only O(chunk n^2) state,
+    # and bigger chunks amortize the sequential scalar-GJ leaf latency
+    chunk = R.chunk or max(4, min(128, int(4.0e8) // (n * n)))
     chunk = min(chunk, M)
     n_chunks = -(-M // chunk)
 

@@ -358,3 +358,57 @@ def test_staged_sweep_bf16_g_matches_single_device():
     u_ref = np.asarray(apply_preconditioner(P_, f, impl="xla"))
     np.testing.assert_allclose(u_dist, u_ref, rtol=1e-5,
                                atol=1e-5 * np.abs(u_ref).max())
+
+
+def test_halo_overlap_tpu_hlo_schedule():
+    """VERDICT r2 item 7: pin the ACTUAL TPU schedule, not just jaxpr
+    dataflow.  AOT-compile the halo SpMV for a real 4-chip v5e topology
+    (deviceless — jax.experimental.topologies) and assert in the optimized,
+    scheduled HLO that compute fusions are placed BETWEEN
+    collective-permute-start and collective-permute-done: the
+    latency-hiding scheduler really does run the halo exchange under the
+    interior stencil apply."""
+    import re
+
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x2x1")
+    except Exception as e:          # no TPU PJRT plugin in this env
+        pytest.skip(f"deviceless TPU AOT unavailable: {e}")
+    import numpy as _np
+    from jax.sharding import Mesh, NamedSharding
+    from helmholtz_tpu.core.complexlib import CArray, complexify
+    from helmholtz_tpu.core.sparse import Stencil5
+
+    ndev, n = 4, 256
+    mesh = Mesh(_np.array(topo.devices[:ndev]), ("layers",))
+    row = NamedSharding(mesh, P("layers"))
+
+    def local(A_loc_pair, u_pair):
+        A_loc = complexify(A_loc_pair)
+        out = halo_stencil_matvec(A_loc, complexify(u_pair), "layers", ndev)
+        return CArray(jnp.real(out), jnp.imag(out))
+
+    leaf = jax.ShapeDtypeStruct((n, n), jnp.float32, sharding=row)
+    pair = CArray(leaf, leaf)
+    A_pair = Stencil5(cc=pair, cw=pair, ce=pair, cs=pair, cn=pair)
+    spec5 = Stencil5(*([CArray(P("layers"), P("layers"))] * 5))
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda s: s, spec5), P("layers")),
+        out_specs=P("layers"), check_vma=False))
+    txt = fn.lower(A_pair, pair).compile().as_text()
+    assert "is_scheduled=true" in txt
+    lines = txt.splitlines()
+    starts = [i for i, l in enumerate(lines)
+              if "collective-permute-start" in l and "=" in l]
+    dones = [i for i, l in enumerate(lines)
+             if "collective-permute-done" in l and "=" in l]
+    assert starts and dones, "no async collective-permute pair in HLO"
+    overlapped = [i for i, l in enumerate(lines)
+                  if re.search(r"fusion\(", l)
+                  and min(starts) < i < max(dones)]
+    # the interior stencil apply (several fusions) must sit between the
+    # permute start and its done in the final schedule
+    assert len(overlapped) >= 2, (starts, dones, overlapped)

@@ -267,3 +267,26 @@ def test_recompute_precond_solves_end_to_end():
                    maxiter=30)
     assert r.converged
     assert r.iterations <= 4
+
+
+def test_recompute_stride_interpolates_within_tolerance():
+    """Strided recompute (factor every R-th subgrid inside each apply
+    chunk, lerp between) must stay within interpolation-error distance of
+    the exact recompute apply — same smoothness argument as
+    test_factor_stride_interpolation_accuracy."""
+    from helmholtz_tpu.precond.recompute import (apply_recompute,
+                                                 setup_recompute)
+
+    cfg, prob, _ = _setup(n=63, b=12, wave_num=4.0, const=61.0)
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+    mk = lambda st, ch: setup_recompute(
+        cfg.n, cfg.b, cfg.wave_num, cfg.const, cfg.alpha, prob.c_full,
+        A=prob.A, fidelity=cfg.fidelity, chunk=ch, factor_stride=st)
+    ref = apply_recompute(mk(1, 16), f)
+    for st, ch in ((2, 13), (2, None), (4, 16)):
+        got = apply_recompute(mk(st, ch), f)
+        rel = float(np.abs(np.asarray(got - ref)).max()
+                    / np.abs(np.asarray(ref)).max())
+        assert rel < 3e-2 * st, (st, ch, rel)   # interp error, not a bug
