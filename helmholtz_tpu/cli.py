@@ -67,6 +67,11 @@ def _add_solver_args(p):
                         "between samples (default auto: clip(n/128, 1, 8) "
                         "on TPU, exact 1 elsewhere; iteration parity is "
                         "the guard)")
+    p.add_argument("--g-compress", action="store_true",
+                   help="store only the sampled corner inverses and lerp "
+                        "the bracketing panels inside the sweep kernel: "
+                        "factor memory AND per-apply G traffic drop "
+                        "~factor_stride-fold (single-chip layout)")
     p.add_argument("--no-dedup-hm", action="store_true",
                    help="disable the shared-G collapse for row-invariant "
                         "velocity fields (c2 problems under corrected "
@@ -101,6 +106,7 @@ def _solve_one(args):
         g_dtype=args.g_dtype,
         schur_block=args.schur_block,
         factor_stride=args.factor_stride,
+        g_compress=args.g_compress,
         dedup_hm=(False if args.no_dedup_hm else None),
         hf_full_coupling=not args.block_diag_hf,
         d2_replace=not args.as_shipped_d2)

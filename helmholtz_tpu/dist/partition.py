@@ -68,6 +68,11 @@ class DistSweepState:
 
 def dist_state_from_preconditioner(P_: SweepingPreconditioner) -> DistSweepState:
     """Row-align G by prepending b zero blocks (the F rows have no subgrid)."""
+    if getattr(P_, "g_stride", 0):
+        raise ValueError(
+            "sample-compressed G (g_compress) is a single-chip layout; "
+            "the distributed path factors per-band directly "
+            "(dist.factor.distributed_setup) — set g_compress=False")
     b = P_.b
     n = P_.G.shape[-1]
     pad = jnp.zeros((b, n, n), P_.G.re.dtype)

@@ -84,27 +84,29 @@ _G_DTYPES = {"working": None, "f32": jnp.float32, "bf16": jnp.bfloat16}
 
 @partial(jax.jit, static_argnames=("b", "hf_full_coupling", "d2_replace",
                                    "setup_chunk", "g_dtype", "schur_block",
-                                   "factor_stride"))
+                                   "factor_stride", "g_compress"))
 def _factor_stage(A_pair, hm_pair, *, b, hf_full_coupling, d2_replace,
                   setup_chunk, g_dtype="working", schur_block=None,
-                  factor_stride=1):
+                  factor_stride=1, g_compress=False):
     with jax.named_scope("factor"):
         return _factor_impl(A_pair, hm_pair, b=b,
                             hf_full_coupling=hf_full_coupling,
                             d2_replace=d2_replace, setup_chunk=setup_chunk,
                             g_dtype=g_dtype, schur_block=schur_block,
-                            factor_stride=factor_stride)
+                            factor_stride=factor_stride,
+                            g_compress=g_compress)
 
 
 def _factor_impl(A_pair, hm_pair, *, b, hf_full_coupling, d2_replace,
                  setup_chunk, g_dtype="working", schur_block=None,
-                 factor_stride=1):
+                 factor_stride=1, g_compress=False):
     A, hm = complexify((A_pair, hm_pair))
     P = setup_preconditioner(A, hm, b, hf_full_coupling=hf_full_coupling,
                              d2_replace=d2_replace, setup_chunk=setup_chunk,
                              g_dtype=_G_DTYPES[g_dtype],
                              schur_block=schur_block,
-                             factor_stride=factor_stride)
+                             factor_stride=factor_stride,
+                             g_compress=g_compress)
     return pairify(P)
 
 
@@ -240,6 +242,7 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
                setup_chunk: int = 128,
                schur_block: Optional[int] = None,
                factor_stride: Optional[int] = None,
+               g_compress: bool = False,
                dedup_hm: Optional[bool] = None,
                complex_dtype=None,
                plot_solution: bool = False) -> SolveReport:
@@ -279,7 +282,8 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
                                d2_replace=d2_replace,
                                setup_chunk=setup_chunk, g_dtype=g_dtype,
                                schur_block=schur_block,
-                               factor_stride=factor_stride)
+                               factor_stride=factor_stride,
+                               g_compress=g_compress)
     elif precond == "recompute":
         P_pair = _factor_recompute_stage(
             A_pair, c_full, jnp.asarray(wave_num, wf),
@@ -331,8 +335,8 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
                     method=method, precond=precond, fidelity=fidelity,
                     precond_refine=precond_refine, precision=precision,
                     g_dtype=g_dtype, schur_block=schur_block,
-                    factor_stride=factor_stride, dedup_hm=dedup_hm,
-                    dtype=str(np.dtype(cdtype))),
+                    factor_stride=factor_stride, g_compress=g_compress,
+                    dedup_hm=dedup_hm, dtype=str(np.dtype(cdtype))),
     )
     if plot_solution:
         from . import viz

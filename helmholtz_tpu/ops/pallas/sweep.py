@@ -45,8 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.complexlib import CArray
 
 
-def _kernel(gre, gim, u2, c2, carry0, out2, carry, rhs, w, *,
-            mode, br, nr, nrhs, n_pad):
+def _kernel(gre, gim, *rest, mode, br, nr, nrhs, n_pad, lerp):
+    if lerp:
+        gre2, gim2, lw, u2, c2, carry0, out2, carry, rhs, w = rest
+    else:
+        u2, c2, carry0, out2, carry, rhs, w = rest
+        gre2 = gim2 = lw = None
     r = pl.program_id(1)
 
     @pl.when((pl.program_id(0) == 0) & (r == 0))
@@ -93,8 +97,21 @@ def _kernel(gre, gim, u2, c2, carry0, out2, carry, rhs, w, *,
             return out[:2 * nrhs] + out[2 * nrhs:]
     else:
         dot2 = dot
-    A2 = dot2(flat, gre[0]).reshape(2, nrhs, br)  # [Gre@vr, Gre@vi] planes
-    B2 = dot2(flat, gim[0]).reshape(2, nrhs, br)
+    if lerp:
+        # sample-compressed G: this step's corner inverse is the linear
+        # interpolation (1-t) G_lo + t G_hi of the two bracketing samples.
+        # Lerp is applied to the dot OUTPUTS (bilinear), so the hi/lo bf16
+        # carry split composes unchanged.  Consecutive steps map the same
+        # sample blocks, so the pipeline skips their re-fetch — G traffic
+        # drops ~stride-fold vs the dense stack.
+        t = lw[0].astype(rhs.dtype)
+        A2 = ((1.0 - t) * dot2(flat, gre[0])
+              + t * dot2(flat, gre2[0])).reshape(2, nrhs, br)
+        B2 = ((1.0 - t) * dot2(flat, gim[0])
+              + t * dot2(flat, gim2[0])).reshape(2, nrhs, br)
+    else:
+        A2 = dot2(flat, gre[0]).reshape(2, nrhs, br)  # [Gre@vr, Gre@vi]
+        B2 = dot2(flat, gim[0]).reshape(2, nrhs, br)
     w[0, :, pl.ds(r * br, br)] = A2[0] - B2[1]
     w[1, :, pl.ds(r * br, br)] = A2[1] + B2[0]
 
@@ -123,10 +140,13 @@ def _pack_rows(x: CArray, n_pad: int) -> jax.Array:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mode", "block_rows", "interpret"))
+                   static_argnames=("mode", "block_rows", "interpret",
+                                    "g_stride"))
 def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
                  mode: str, block_rows: int = 128,
-                 interpret: bool = False) -> CArray:
+                 interpret: bool = False,
+                 g_stride: int = 0,
+                 g_w: jax.Array | None = None) -> CArray:
     """Run one sweep recursion over the G stack.
 
     G      : (Mg, n_pad, n_pad) CArray, zero-padded (setup_preconditioner).
@@ -141,6 +161,14 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     carry0 : (n,) or (R, n) CArray — initial carry (fwd: the row below;
              bwd: zeros).
 
+    g_stride > 0: G holds SAMPLES of the corner-inverse stack every
+    `g_stride` logical steps (sample i at logical k = min(i*g_stride,
+    K-1)); the kernel lerps the two bracketing samples per step with the
+    per-logical-step weights `g_w` ((K,) f32, K = the logical stack
+    length).  Consecutive steps hit the same sample blocks, so the
+    pipeline's revolving-buffer check skips their re-fetch: G HBM traffic
+    AND at-rest factor memory drop ~g_stride-fold.
+
     Returns the (S, n) / (S, R, n) CArray of updated rows in natural order.
     """
     assert mode in ("fwd", "bwd", "bwd_sub"), mode
@@ -151,11 +179,15 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
         u = CArray(u.re[:, None, :], u.im[:, None, :])
         carry0 = CArray(carry0.re[None, :], carry0.im[None, :])
     S, nrhs, n = u.re.shape
+    lerp = g_stride > 0
     # Mg == 1 with S > 1 is the shared-G family (row-invariant velocity):
     # one corner inverse broadcast over every sweep step — the panel gets
     # DMA'd once and stays VMEM-resident instead of streaming (S, n, n).
-    shared = Mg == 1 and S > 1
-    assert shared or ((S <= Mg) if mode == "fwd" else (S == Mg)), (S, Mg)
+    shared = Mg == 1 and S > 1 and not lerp
+    assert lerp or shared or ((S <= Mg) if mode == "fwd" else (S == Mg)), \
+        (S, Mg)
+    if lerp:
+        assert g_w is not None and g_w.shape[0] >= S, (g_w, S)
     dtype = u.re.dtype
 
     u2 = _pack_rows(u, n_pad)                          # (S, 2, R, n_pad)
@@ -168,13 +200,19 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     nr = n_pad // br
 
     if mode == "fwd":
-        g_map = (lambda m, r: (0, r, 0)) if shared else \
-            (lambda m, r: (m, r, 0))
+        kidx = lambda m: m                 # logical G index of step m
         row_map = lambda m, r: (m, 0, 0, 0)
     else:
-        g_map = (lambda m, r: (0, r, 0)) if shared else \
-            (lambda m, r: (Mg - 1 - m, r, 0))
+        kidx = lambda m: S - 1 - m
         row_map = lambda m, r: (S - 1 - m, 0, 0, 0)
+    if lerp:
+        g_map = lambda m, r: (kidx(m) // g_stride, r, 0)
+        g_map2 = lambda m, r: (kidx(m) // g_stride + 1, r, 0)
+        w_map = lambda m, r: (kidx(m),)
+    elif shared:
+        g_map = lambda m, r: (0, r, 0)
+    else:
+        g_map = lambda m, r: (kidx(m), r, 0)
 
     g_spec = pl.BlockSpec((1, br, n_pad), g_map, memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, 2, nrhs, n_pad), row_map,
@@ -182,12 +220,22 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     c_spec = pl.BlockSpec((1, 2, 1, n_pad), row_map,
                           memory_space=pltpu.VMEM)
 
+    in_specs = [g_spec, g_spec]
+    args = [G.re, G.im]
+    if lerp:
+        g_spec2 = pl.BlockSpec((1, br, n_pad), g_map2,
+                               memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((1,), w_map, memory_space=pltpu.SMEM)
+        in_specs += [g_spec2, g_spec2, w_spec]
+        args += [G.re, G.im, g_w.astype(jnp.float32)]
+    in_specs += [row_spec, c_spec, pl.BlockSpec(memory_space=pltpu.VMEM)]
+    args += [u2, c2, c0]
+
     out = pl.pallas_call(
         functools.partial(_kernel, mode=mode, br=br, nr=nr, nrhs=nrhs,
-                          n_pad=n_pad),
+                          n_pad=n_pad, lerp=lerp),
         grid=(S, nr),
-        in_specs=[g_spec, g_spec, row_spec, c_spec,
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((S, 2, nrhs, n_pad), dtype),
         scratch_shapes=[
@@ -196,7 +244,7 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
             pltpu.VMEM((2, nrhs, n_pad), dtype),   # w = G @ rhs
         ],
         interpret=interpret,
-    )(G.re, G.im, u2, c2, c0)
+    )(*args)
     res = CArray(out[:, 0, :, :n], out[:, 1, :, :n])
     if squeeze:
         res = CArray(res.re[:, 0], res.im[:, 0])

@@ -40,6 +40,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.complexlib import CArray
 from ..core.sparse import Stencil5
@@ -422,8 +423,8 @@ def _block_thomas_solve(T, cs, cn, rhs):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["G", "TF", "hf_cs", "hf_cn", "a_cs", "a_cn"],
-    meta_fields=["b", "d2_replace"],
+    data_fields=["G", "TF", "hf_cs", "hf_cn", "a_cs", "a_cn", "g_w"],
+    meta_fields=["b", "d2_replace", "g_stride"],
 )
 @dataclasses.dataclass(frozen=True)
 class SweepingPreconditioner:
@@ -452,6 +453,11 @@ class SweepingPreconditioner:
     a_cn: CArray
     b: int
     d2_replace: bool
+    # sample-compressed G (g_compress=True at setup): G holds every
+    # g_stride-th corner inverse; g_w[k] is the lerp weight of logical
+    # step k between its two bracketing samples.  g_stride = 0 -> dense.
+    g_w: jax.Array | None = None
+    g_stride: int = 0
 
     @property
     def grid_shape(self):
@@ -470,7 +476,8 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
                          pad_lanes: bool | None = None,
                          g_dtype=None,
                          schur_block: int | None = None,
-                         factor_stride: int = 1) -> SweepingPreconditioner:
+                         factor_stride: int = 1,
+                         g_compress: bool = False) -> SweepingPreconditioner:
     """Algorithm 2.3 analog: factor H_F and every H_m (code.py:345-353).
 
     `hm` is the batched subgrid family from `fd.stencil.build_hm_stencils`
@@ -493,16 +500,41 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
     iterations at refine 0/1/2 for both f32 and bf16 G).  The Schur
     recursion itself always runs at the working precision — only storage
     is rounded.
+
+    `g_compress=True` (requires factor_stride > 1) stores ONLY the sampled
+    corner inverses plus per-step lerp weights instead of expanding the
+    interpolation to the dense stack: at-rest factor memory AND per-apply
+    G traffic drop ~factor_stride-fold (the Pallas kernel lerps the two
+    bracketing sample panels in VMEM; the interpolated values are
+    identical to the expanded strided stack, so iteration counts match it
+    exactly).  This is the 'compress' point of the
+    store/recompute/compress frontier (SURVEY.md section 7.3 item 1).
     """
     M, _, n = hm.cc.shape
     if pad_lanes is None:
         pad_lanes = jax.default_backend() == "tpu"
     n_pad = (-(-n // 128) * 128) if pad_lanes else n
     g_dtype = g_dtype or hm.cc.real.dtype
-    G = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=g_dtype,
-                               setup_chunk=setup_chunk,
-                               schur_block=schur_block,
-                               stride=factor_stride)
+    g_w = None
+    g_stride = 0
+    if g_compress and factor_stride > 1 and M > factor_stride:
+        R = factor_stride
+        Ms = (M - 1) // R + 2
+        pos = np.minimum(np.arange(Ms) * R, M - 1)
+        hm_s = jax.tree.map(lambda f: f[jnp.asarray(pos)], hm)
+        G = factor_corner_inverses(hm_s, n_pad=n_pad, g_dtype=g_dtype,
+                                   setup_chunk=setup_chunk,
+                                   schur_block=schur_block)
+        k = np.arange(M)
+        lo = np.minimum(k // R, Ms - 2)
+        denom = np.maximum(pos[lo + 1] - pos[lo], 1)
+        g_w = jnp.asarray((k - pos[lo]) / denom, jnp.float32)
+        g_stride = R
+    else:
+        G = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=g_dtype,
+                                   setup_chunk=setup_chunk,
+                                   schur_block=schur_block,
+                                   stride=factor_stride)
 
     HF = fd_stencil.extract_hf_stencil(A, b, full_coupling=hf_full_coupling)
     TF = _schur_t_stack(HF)
@@ -512,7 +544,7 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
         G=as_pair(G), TF=as_pair(TF),
         hf_cs=CArray.of(HF.cs), hf_cn=CArray.of(HF.cn),
         a_cs=CArray.of(A.cs), a_cn=CArray.of(A.cn),
-        b=b, d2_replace=d2_replace)
+        b=b, d2_replace=d2_replace, g_w=g_w, g_stride=g_stride)
 
 
 def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
@@ -584,15 +616,16 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
         from ..ops.pallas.sweep import pallas_sweep
         interp = jax.default_backend() == "cpu"
         rows = lambda z, sl: CArray(z.re[sl], z.im[sl])
+        ck = dict(interpret=interp, g_stride=P.g_stride, g_w=P.g_w)
         if M_total > 1:
             u_fwd = pallas_sweep(
                 P.G, CArray.of(u[b + 1:]), rows(P.a_cs, slice(b + 1, None)),
-                CArray.of(u[b]), mode="fwd", interpret=interp)
+                CArray.of(u[b]), mode="fwd", **ck)
             u = jnp.concatenate([u[:b + 1], u_fwd.cplx], axis=0)
         u_bwd = pallas_sweep(
             P.G, CArray.of(u[b:]), CArray.of(cn_top_zeroed),
             CArray.of(jnp.zeros_like(u[-1])),
-            mode=("bwd" if P.d2_replace else "bwd_sub"), interpret=interp)
+            mode=("bwd" if P.d2_replace else "bwd_sub"), **ck)
         u = jnp.concatenate([u[:b], u_bwd.cplx], axis=0)
     else:
         # The sweeps index G per step out of the closed-over resident buffer
@@ -601,6 +634,16 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
         ks = jnp.arange(M_total - 1)
 
         def g_row(k):
+            if P.g_stride:
+                # sample-compressed G: lerp the bracketing samples (the
+                # XLA fallback reads two panels per step; the traffic win
+                # belongs to the Pallas kernel's revolving buffers)
+                lo = jnp.minimum(k // P.g_stride, Gre.shape[0] - 2)
+                t = P.g_w[k].astype(Gre.dtype)
+                pick = lambda g, i: jax.lax.dynamic_index_in_dim(
+                    g, i, 0, keepdims=False)
+                return ((1 - t) * pick(Gre, lo) + t * pick(Gre, lo + 1),
+                        (1 - t) * pick(Gim, lo) + t * pick(Gim, lo + 1))
             k = 0 if shared_g else k
             return (jax.lax.dynamic_index_in_dim(Gre, k, 0, keepdims=False),
                     jax.lax.dynamic_index_in_dim(Gim, k, 0, keepdims=False))
@@ -676,16 +719,17 @@ def apply_preconditioner_multi(P: SweepingPreconditioner, F: jax.Array,
     cn_top_zeroed = jnp.concatenate(  # entry broadcast over all of them)
         [a_cn[b:-1], jnp.zeros_like(a_cn[-1:])], axis=0)
 
+    ck = dict(interpret=interp, g_stride=P.g_stride, g_w=P.g_w)
     if M_total > 1:
         u_fwd = pallas_sweep(
             P.G, to_sbn(u[:, b + 1:]), rows(P.a_cs, slice(b + 1, None)),
-            CArray.of(u[:, b]), mode="fwd", interpret=interp)
+            CArray.of(u[:, b]), mode="fwd", **ck)
         u = jnp.concatenate(
             [u[:, :b + 1], jnp.swapaxes(u_fwd.cplx, 0, 1)], axis=1)
     u_bwd = pallas_sweep(
         P.G, to_sbn(u[:, b:]), CArray.of(cn_top_zeroed),
         CArray.of(jnp.zeros_like(u[:, -1])),
-        mode=("bwd" if P.d2_replace else "bwd_sub"), interpret=interp)
+        mode=("bwd" if P.d2_replace else "bwd_sub"), **ck)
     u = jnp.concatenate([u[:, :b], jnp.swapaxes(u_bwd.cplx, 0, 1)], axis=1)
 
     rhs = jnp.zeros_like(TFuF).at[:, b - 1].set(a_cn[b - 1] * u[:, b])

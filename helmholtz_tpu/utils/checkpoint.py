@@ -27,8 +27,11 @@ def save_preconditioner(path: str, P: SweepingPreconditioner) -> str:
         c: CArray = getattr(P, name)
         arrays[f"{name}_re"] = np.asarray(c.re)
         arrays[f"{name}_im"] = np.asarray(c.im)
+    if P.g_stride:
+        arrays["g_w"] = np.asarray(P.g_w)
     arrays["_meta"] = np.frombuffer(
-        json.dumps({"b": P.b, "d2_replace": P.d2_replace}).encode(),
+        json.dumps({"b": P.b, "d2_replace": P.d2_replace,
+                    "g_stride": int(P.g_stride)}).encode(),
         dtype=np.uint8)
     np.savez_compressed(path, **arrays)
     return path
@@ -41,8 +44,11 @@ def load_preconditioner(path: str) -> SweepingPreconditioner:
     for name in _FIELDS:
         kw[name] = CArray(jnp.asarray(z[f"{name}_re"]),
                           jnp.asarray(z[f"{name}_im"]))
-    return SweepingPreconditioner(**kw, b=int(meta["b"]),
-                                  d2_replace=bool(meta["d2_replace"]))
+    g_stride = int(meta.get("g_stride", 0))
+    return SweepingPreconditioner(
+        **kw, b=int(meta["b"]), d2_replace=bool(meta["d2_replace"]),
+        g_stride=g_stride,
+        g_w=(jnp.asarray(z["g_w"]) if g_stride else None))
 
 
 def save_report(path: str, report) -> str:

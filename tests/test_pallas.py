@@ -158,3 +158,57 @@ def test_pallas_sweep_shared_g_matches_full_stack():
     gotm = apply_preconditioner_multi(P_one, F, impl="pallas")
     np.testing.assert_allclose(np.asarray(gotm), np.asarray(refm),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_sweep_compressed_g_matches_expanded():
+    """Sample-compressed G (g_compress: store every R-th corner inverse,
+    lerp the bracketing panels inside the kernel) must reproduce the
+    expanded strided stack bit-for-bit up to roundoff on both impls and
+    the batched path — the interpolated operator is the same, only its
+    materialization differs."""
+    from helmholtz_tpu.fd import stencil
+    from helmholtz_tpu.precond.sweeping import (
+        apply_preconditioner, apply_preconditioner_multi,
+        setup_preconditioner)
+
+    cfg = HelmholtzConfig(n=33, b=6, wave_num=2.0, const=20.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    P_exp = setup_preconditioner(prob.A, hm, cfg.b, pad_lanes=True,
+                                 factor_stride=4)
+    P_cmp = setup_preconditioner(prob.A, hm, cfg.b, pad_lanes=True,
+                                 factor_stride=4, g_compress=True)
+    M = cfg.n - cfg.b
+    assert P_cmp.G.re.shape[0] == (M - 1) // 4 + 2     # samples only
+    assert P_cmp.g_stride == 4 and P_cmp.g_w.shape == (M,)
+
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+    for impl in ("xla", "pallas"):
+        a = apply_preconditioner(P_exp, f, impl=impl)
+        b = apply_preconditioner(P_cmp, f, impl=impl)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12, atol=1e-12)
+    F = jnp.stack([f, 2.0 * f, f.conj()])
+    am = apply_preconditioner_multi(P_exp, F, impl="pallas")
+    bm = apply_preconditioner_multi(P_cmp, F, impl="pallas")
+    np.testing.assert_allclose(np.asarray(bm), np.asarray(am),
+                               rtol=1e-12, atol=1e-12)
+
+    # checkpoint round trip preserves the compressed layout
+    import tempfile, os
+    from helmholtz_tpu.utils.checkpoint import (load_preconditioner,
+                                                save_preconditioner)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.npz")
+        save_preconditioner(path, P_cmp)
+        P2 = load_preconditioner(path)
+    assert P2.g_stride == 4
+    c = apply_preconditioner(P2, f, impl="xla")
+    np.testing.assert_allclose(np.asarray(c),
+                               np.asarray(apply_preconditioner(
+                                   P_cmp, f, impl="xla")),
+                               rtol=1e-12, atol=1e-12)
