@@ -19,7 +19,13 @@ import sys
 
 def plan(n: int, b: int = 12, batch: int = 1, restart: int = 20,
          hbm_gb: float = 16.0, pad_lanes: bool = True,
-         setup_chunk: int = 128, g_dtype: str = "f32") -> dict:
+         setup_chunk: int = 128, g_dtype: str = "f32",
+         g_compress_stride: int = 0) -> dict:
+    """`g_compress_stride` > 0 budgets the sample-compressed factor stack
+    (setup_preconditioner g_compress): G holds (M-1)//R + 2 sampled corner
+    inverses instead of M — the layout that fits 2047^2 on one chip at
+    bf16 stride 8.  `precond='recompute'` needs no plan at all: its
+    at-rest state is O(n^2)."""
     n_pad = -(-n // 128) * 128 if pad_lanes else n
     M = n - b
     f32 = 4
@@ -27,7 +33,8 @@ def plan(n: int, b: int = 12, batch: int = 1, restart: int = 20,
     c64 = 8                                   # split-real complex64 pair
     N = n * n
 
-    g_bytes = 2 * M * n_pad * n_pad * g_item  # the factor stack (re+im)
+    Mg = ((M - 1) // g_compress_stride + 2) if g_compress_stride else M
+    g_bytes = 2 * Mg * n_pad * n_pad * g_item  # the factor stack (re+im)
     tf_bytes = 2 * b * n * n * f32
     stencil_bytes = 2 * 5 * N * f32           # A fields
     hm_bytes = 2 * 5 * M * b * n * f32        # subgrid family fields
@@ -48,6 +55,8 @@ def plan(n: int, b: int = 12, batch: int = 1, restart: int = 20,
 
     return {
         "n": n, "b": b, "batch": batch, "n_pad": n_pad, "g_dtype": g_dtype,
+        "g_compress_stride": g_compress_stride,
+        "g_blocks_stored": Mg,
         "g_stack_gb": round(g_bytes / 1e9, 2),
         "operator_gb": round((stencil_bytes + hm_bytes) / 1e9, 2),
         "krylov_gb": round(krylov / 1e9, 2),
@@ -71,9 +80,12 @@ def main(argv=None):
     ap.add_argument("--hbm-gb", type=float, default=16.0)
     ap.add_argument("--g-dtype", default="f32",
                     choices=["f32", "bf16", "working"])
+    ap.add_argument("--g-compress-stride", type=int, default=0)
     args = ap.parse_args(argv)
     print(json.dumps(plan(args.n, args.b, args.batch, args.restart,
-                          args.hbm_gb, g_dtype=args.g_dtype), indent=1))
+                          args.hbm_gb, g_dtype=args.g_dtype,
+                          g_compress_stride=args.g_compress_stride),
+                     indent=1))
     return 0
 
 

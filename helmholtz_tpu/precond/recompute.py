@@ -146,9 +146,13 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
     """One sweep solve u ~= A^{-1} f with G rematerialized chunkwise.
 
     Identical algebra to `sweeping.apply_preconditioner` (corrected D2 /
-    as-shipped switch included); the lax.scan over sweep rows is replaced
-    by a fori_loop over chunks, each re-factoring `chunk` subgrids and
-    scanning through them.
+    as-shipped switch included).  Structure: a `fori_loop` over FULL
+    chunks (one traced offset, so only ONE chunk-G temp is ever live —
+    Python-unrolling the chunks OOMs inside an enclosing GMRES while_loop,
+    where XLA keeps every unrolled chunk's (chunk, n, n) buffer alive
+    simultaneously) plus one static tail chunk; within a chunk the rows
+    update through a `lax.scan` whose carry crosses chunk boundaries
+    through the in-place block write.
     """
     b = R.b
     L, n = R.grid_shape
@@ -159,12 +163,10 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
     hi = jax.lax.Precision.HIGHEST
 
     M = L - b
-    # larger auto-chunk than the stored setup (no resident G stack to
-    # share HBM with): the chunk G buffer is the only O(chunk n^2) state,
-    # and bigger chunks amortize the sequential scalar-GJ leaf latency
-    chunk = R.chunk or max(4, min(128, int(4.0e8) // (n * n)))
+    # auto-chunk: the chunk-G buffer is the dominant O(chunk n^2) state;
+    # bigger chunks amortize the sequential scalar-GJ leaf latency
+    chunk = R.chunk or max(4, min(128, int(2.5e8) // (n * n)))
     chunk = min(chunk, M)
-    n_chunks = -(-M // chunk)
 
     u = f
     TFuF = _block_thomas_solve(TF, hf_cs, hf_cn, u[:b])
@@ -174,63 +176,61 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
         return jnp.matmul(g, v, precision=hi)
 
     # ---- forward sweep: u_j -= cs_j * (G_{j-1} u_{j-1}), j = b+1..L-1 ----
-    # step k (0-based) uses G_k, reads row b+k, writes row b+k+1; chunk ci
-    # covers k in [k0, k0+chunk), k0 clamped so the last chunk overlaps
-    # (duplicate G computation, idempotent row updates are NOT — so each
-    # chunk's scan skips steps below its true start).
-    def fwd_chunk(ci, u):
-        k0 = jnp.minimum(ci * chunk, M - 1 - 0)  # steps k = 0..M-2
-        k0 = jnp.minimum(k0, jnp.maximum(M - 1 - chunk, 0))
-        G = _chunk_g(R, k0, chunk, cdtype)
-        done_before = ci * chunk                 # steps already applied
+    # step k (0-based) uses G_k, reads row b+k, writes row b+k+1
+    def fstep(carry, inp):
+        u_j, cs_j, g = inp
+        new = u_j - cs_j * g_matvec(g, carry)
+        return new, new
 
-        def step(i, u):
-            k = k0 + i
-            active = (k >= done_before) & (k <= M - 2)
-            row = jax.lax.dynamic_index_in_dim(u, b + k, 0, keepdims=False)
-            nxt = jax.lax.dynamic_index_in_dim(u, b + k + 1, 0,
-                                               keepdims=False)
-            cs_j = jax.lax.dynamic_index_in_dim(a_cs, b + k + 1, 0,
-                                                keepdims=False)
-            new = nxt - cs_j * g_matvec(G[i], row)
-            new = jnp.where(active, new, nxt)
-            return jax.lax.dynamic_update_index_in_dim(u, new, b + k + 1, 0)
+    def fwd_block(u, carry, k0, c):
+        G = _chunk_g(R, k0, c, cdtype)
+        rows_in = jax.lax.dynamic_slice_in_dim(u, b + 1 + k0, c)
+        cs_rows = jax.lax.dynamic_slice_in_dim(a_cs, b + 1 + k0, c)
+        carry, out = jax.lax.scan(fstep, carry, (rows_in, cs_rows, G))
+        return jax.lax.dynamic_update_slice_in_dim(u, out, b + 1 + k0, 0), \
+            carry
 
-        return jax.lax.fori_loop(0, chunk, step, u)
-
-    n_fwd_chunks = -(-(M - 1) // chunk) if M > 1 else 0
-    u = jax.lax.fori_loop(0, n_fwd_chunks, fwd_chunk, u)
+    n_full = (M - 1) // chunk
+    u, carry = jax.lax.fori_loop(
+        0, n_full,
+        lambda ci, uc: fwd_block(uc[0], uc[1], ci * chunk, chunk),
+        (u, u[b]))
+    tail = (M - 1) - n_full * chunk
+    if tail:
+        u, carry = fwd_block(u, carry, n_full * chunk, tail)
 
     # ---- fused diagonal + backward sweep, j = L-1..b (G_j at k = j-b) ----
-    def bwd_chunk(ci, u):
-        # chunks descend: chunk ci covers k in [M - (ci+1)*chunk, M - ci*chunk)
-        k0 = jnp.maximum(M - (ci + 1) * chunk, 0)
-        G = _chunk_g(R, k0, chunk, cdtype)
-        done_above = M - ci * chunk              # first k already applied
+    #   corrected:  u_j = G_j (u_j - cn_j * u_{j+1})
+    #   as-shipped: u_j = u_j - G_j (u_j + cn_j * u_{j+1})
+    # (cn above the top row enters as a zero via the zero carry)
+    cn_top_zeroed = jnp.concatenate(
+        [a_cn[b:-1], jnp.zeros_like(a_cn[-1:])], axis=0)
 
-        def step(i, u):
-            k = k0 + (chunk - 1 - i)             # descend within the chunk
-            active = (k < done_above) & (k >= 0)
-            row = jax.lax.dynamic_index_in_dim(u, b + k, 0, keepdims=False)
-            above = jnp.where(
-                k + 1 <= M - 1,
-                jax.lax.dynamic_index_in_dim(
-                    u, jnp.minimum(b + k + 1, L - 1), 0, keepdims=False),
-                jnp.zeros_like(row))
-            cn_j = jnp.where(
-                k <= M - 2,
-                jax.lax.dynamic_index_in_dim(a_cn, b + k, 0, keepdims=False),
-                jnp.zeros_like(a_cn[0]))
-            if R.d2_replace:
-                new = g_matvec(G[k - k0], row - cn_j * above)
-            else:
-                new = row - g_matvec(G[k - k0], row + cn_j * above)
-            new = jnp.where(active, new, row)
-            return jax.lax.dynamic_update_index_in_dim(u, new, b + k, 0)
+    def bstep(carry, inp):
+        u_j, cn_j, g = inp
+        if R.d2_replace:
+            new = g_matvec(g, u_j - cn_j * carry)
+        else:
+            new = u_j - g_matvec(g, u_j + cn_j * carry)
+        return new, new
 
-        return jax.lax.fori_loop(0, chunk, step, u)
+    def bwd_block(u, carry, k0, c):
+        G = _chunk_g(R, k0, c, cdtype)
+        rows_in = jax.lax.dynamic_slice_in_dim(u, b + k0, c)
+        cn_rows = jax.lax.dynamic_slice_in_dim(cn_top_zeroed, k0, c)
+        carry, out = jax.lax.scan(bstep, carry, (rows_in, cn_rows, G),
+                                  reverse=True)
+        return jax.lax.dynamic_update_slice_in_dim(u, out, b + k0, 0), carry
 
-    u = jax.lax.fori_loop(0, n_chunks, bwd_chunk, u)
+    n_full_b = M // chunk
+    rem = M - n_full_b * chunk          # tail at the BOTTOM (k = 0..rem-1)
+    u, carry = jax.lax.fori_loop(
+        0, n_full_b,
+        lambda ci, uc: bwd_block(uc[0], uc[1], rem + (n_full_b - 1 - ci) * chunk,
+                                 chunk),
+        (u, jnp.zeros_like(u[-1])))
+    if rem:
+        u, carry = bwd_block(u, carry, 0, rem)
 
     rhs = jnp.zeros_like(TFuF).at[b - 1].set(a_cn[b - 1] * u[b])
     uF = TFuF - _block_thomas_solve(TF, hf_cs, hf_cn, rhs)
