@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.complexlib import CArray
 
 
-def _kernel(gre, gim, *rest, mode, br, nr, nrhs, n_pad, lerp):
+def _kernel(gre, gim, *rest, mode, br, nr, nrhs, n_pad, lerp, nsteps=0):
     if lerp:
         gre2, gim2, lw, u2, c2, carry0, out2, carry, rhs, w = rest
     else:
@@ -104,7 +104,11 @@ def _kernel(gre, gim, *rest, mode, br, nr, nrhs, n_pad, lerp):
         # carry split composes unchanged.  Consecutive steps map the same
         # sample blocks, so the pipeline skips their re-fetch — G traffic
         # drops ~stride-fold vs the dense stack.
-        t = lw[0].astype(rhs.dtype)
+        # whole weights array lives in SMEM (per-step blocks are below the
+        # (8, 128) tile minimum); recover the logical step from program_id
+        m = pl.program_id(0)
+        k = m if mode == "fwd" else nsteps - 1 - m
+        t = lw[k, 0].astype(rhs.dtype)
         A2 = ((1.0 - t) * dot2(flat, gre[0])
               + t * dot2(flat, gre2[0])).reshape(2, nrhs, br)
         B2 = ((1.0 - t) * dot2(flat, gim[0])
@@ -208,7 +212,6 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     if lerp:
         g_map = lambda m, r: (kidx(m) // g_stride, r, 0)
         g_map2 = lambda m, r: (kidx(m) // g_stride + 1, r, 0)
-        w_map = lambda m, r: (kidx(m),)
     elif shared:
         g_map = lambda m, r: (0, r, 0)
     else:
@@ -225,15 +228,19 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     if lerp:
         g_spec2 = pl.BlockSpec((1, br, n_pad), g_map2,
                                memory_space=pltpu.VMEM)
-        w_spec = pl.BlockSpec((1,), w_map, memory_space=pltpu.SMEM)
+        # the whole (S, 1) weight vector sits in SMEM (a few KB), indexed
+        # by the step id in-kernel — per-step SMEM blocks are not a legal
+        # TPU block shape
+        w_spec = pl.BlockSpec((S, 1), lambda m, r: (0, 0),
+                              memory_space=pltpu.SMEM)
         in_specs += [g_spec2, g_spec2, w_spec]
-        args += [G.re, G.im, g_w.astype(jnp.float32)]
+        args += [G.re, G.im, g_w.astype(jnp.float32)[:S, None]]
     in_specs += [row_spec, c_spec, pl.BlockSpec(memory_space=pltpu.VMEM)]
     args += [u2, c2, c0]
 
     out = pl.pallas_call(
         functools.partial(_kernel, mode=mode, br=br, nr=nr, nrhs=nrhs,
-                          n_pad=n_pad, lerp=lerp),
+                          n_pad=n_pad, lerp=lerp, nsteps=S),
         grid=(S, nr),
         in_specs=in_specs,
         out_specs=row_spec,

@@ -25,6 +25,18 @@ Rematerialization-over-storage is the standard TPU trade
 (jax.checkpoint's logic applied to a factorization instead of
 activations); the chunked re-factor inside the sweep keeps every inverse
 batched on the MXU exactly like the setup path.
+
+MEASURED BACKEND ENVELOPE (2026-08, axon TPU v5e): the recompute apply is
+correct standalone at every size tried (matches the stored apply to
+3.6e-9 at n=1535), and GMRES+recompute solves verified on-chip through
+n = 1279 (3 iterations, residual 1.7e-7).  At n >= 1407 the SAME program
+inside GMRES's nested while_loops hard-crashes the TPU worker ("kernel
+fault") — plain GMRES and the standalone apply at those sizes are fine,
+chunk size and factor_stride do not matter, so this is a backend
+miscompile of the 6-deep loop nest, not an algorithmic limit.  For
+n in [1407, ~2800] use the sample-compressed stored path (g_compress),
+which covers 2047^2 on one chip; recompute remains the only single-chip
+option beyond that once the backend fault is fixed.
 """
 from __future__ import annotations
 
