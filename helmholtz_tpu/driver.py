@@ -416,6 +416,7 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
                    setup_chunk: int = 128,
                    g_dtype: str = "working",
                    factor_stride: Optional[int] = None,
+                   g_compress: bool = False,
                    mesh_devices: Optional[int] = None,
                    precision: str = "f32",
                    precond_refine: int = 0,
@@ -501,7 +502,8 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
                                    hf_full_coupling=True,
                                    d2_replace=True, setup_chunk=setup_chunk,
                                    g_dtype=g_dtype,
-                                   factor_stride=factor_stride)
+                                   factor_stride=factor_stride,
+                                   g_compress=g_compress)
             _host_sync(P_pair)
             t1 = time.perf_counter()
             res_pair = _msolve_stage(A_pair, P_pair, F_pair,

@@ -169,9 +169,14 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     `g_stride` logical steps (sample i at logical k = min(i*g_stride,
     K-1)); the kernel lerps the two bracketing samples per step with the
     per-logical-step weights `g_w` ((K,) f32, K = the logical stack
-    length).  Consecutive steps hit the same sample blocks, so the
-    pipeline's revolving-buffer check skips their re-fetch: G HBM traffic
-    AND at-rest factor memory drop ~g_stride-fold.
+    length).  This is a CAPACITY feature: at-rest factor memory drops
+    ~g_stride-fold (2047^2 fits one chip at bf16 stride 8).  Per-step HBM
+    traffic does NOT drop — the panel tiling over r changes the block
+    index every grid iteration, so the pipeline re-fetches both
+    bracketing panels each step (~2x a dense stream; measured 0.204 s vs
+    0.129 s per n=1023 solve).  Sample residency in VMEM would beat it
+    only for n_pad <= ~1024 at bf16, where the dense stack fits HBM
+    anyway — prefer dense storage whenever it fits.
 
     Returns the (S, n) / (S, R, n) CArray of updated rows in natural order.
     """

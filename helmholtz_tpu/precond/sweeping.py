@@ -503,12 +503,15 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
 
     `g_compress=True` (requires factor_stride > 1) stores ONLY the sampled
     corner inverses plus per-step lerp weights instead of expanding the
-    interpolation to the dense stack: at-rest factor memory AND per-apply
-    G traffic drop ~factor_stride-fold (the Pallas kernel lerps the two
-    bracketing sample panels in VMEM; the interpolated values are
-    identical to the expanded strided stack, so iteration counts match it
-    exactly).  This is the 'compress' point of the
-    store/recompute/compress frontier (SURVEY.md section 7.3 item 1).
+    interpolation to the dense stack: at-rest factor memory drops
+    ~factor_stride-fold (the Pallas kernel lerps the two bracketing
+    sample panels; values identical to the expanded strided stack, so
+    iteration counts match it exactly).  The apply re-fetches both
+    bracketing panels per step (~2x a dense stream — ops.pallas.sweep
+    docstring), so this is the CAPACITY point of the
+    store/compress/recompute frontier (SURVEY.md section 7.3 item 1):
+    n=2047 bf16 stride-8 fits one chip (bench.plan); use dense storage
+    whenever G fits.
     """
     M, _, n = hm.cc.shape
     if pad_lanes is None:
