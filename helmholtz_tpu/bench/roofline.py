@@ -70,18 +70,25 @@ def measure_streaming_bw(mb: int = 256) -> float:
 
 
 def measure_read_bw(mb: int = 512) -> float:
-    """Achievable read-only HBM bandwidth (GB/s): full-array reduction.
+    """Achievable read-only HBM bandwidth (GB/s).
+
+    The kernel is `s <- sum(minimum(v, s))` with `s` the loop carry: the
+    elementwise `minimum` depends on the carry, so XLA can neither hoist
+    the reduction out of the timing loop (a loop-invariant `sum(v)` gets
+    hoisted and measures nothing — the sweep 'fraction' came out 0.006
+    that way) nor factor it algebraically (as it could `sum(v * s)`).
+    Traffic is one full read of `v` per iteration, scalar write.
 
     Read-dominated kernels (the sweep streams the G stack against O(n)
-    vectors) should be roofed against this, not the read+write copy rate —
-    with the copy denominator the sweep measured a fraction of 1.11."""
+    vectors) are roofed against this, not the read+write copy rate — with
+    the copy denominator the sweep measured a fraction of 1.11."""
     N = mb * 1024 * 1024 // 4
     x = jnp.ones((N,), jnp.float32)
 
     def step(s, v):
-        return s * 0.5 + jnp.sum(v)
+        return jnp.sum(jnp.minimum(v, s)) * (1.0 / N) + 1e-7
 
-    dt = _timed_loop(step, jnp.float32(0.0), iters=30, args=(x,))
+    dt = _timed_loop(step, jnp.float32(2.0), iters=30, args=(x,))
     return mb / 1024 / dt
 
 

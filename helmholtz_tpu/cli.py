@@ -33,7 +33,8 @@ def _add_problem_args(p):
 def _add_solver_args(p):
     p.add_argument("--precond", default="moving_pml",
                    choices=["moving_pml", "recompute", "exact", "none"])
-    p.add_argument("--method", default="gmres", choices=["gmres", "bicgstab"])
+    p.add_argument("--method", default="gmres",
+                   choices=["gmres", "bicgstab", "gmres-hostloop"])
     p.add_argument("--rtol", type=float, default=1e-3)
     p.add_argument("--restart", type=int, default=20)
     p.add_argument("--maxiter", type=int, default=None)
@@ -127,7 +128,7 @@ def cmd_solve(args):
         print(f"GMRES iterations with preconditioner: {r.iterations}")
         print(f"true relative residual: {r.true_residual:.3e}")
         print(f"Initialization time = {r.init_time:.3f}")
-        print(f"{'GMRES' if args.method == 'gmres' else 'BiCGStab'} "
+        print(f"{'BiCGStab' if args.method == 'bicgstab' else 'GMRES'} "
               f"solve time = {r.solve_time:.3f}")
     if args.metrics:
         log_metrics(r, args.metrics)
@@ -257,6 +258,11 @@ def cmd_bench_spmv(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="helmholtz_tpu")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="override the JAX backend (the environment may "
+                         "pre-register a TPU; 'cpu' runs the complex128 "
+                         "oracle path — must be set before first device "
+                         "use, which this flag guarantees)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("solve", help="single preconditioned solve")
@@ -337,6 +343,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_bench_sweep)
 
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

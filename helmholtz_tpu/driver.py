@@ -200,6 +200,34 @@ def _solve_stage(A_pair, P_pair, f_pair, rtol, *, restart, maxiter,
     return pairify(res)
 
 
+def _solve_hostloop(A_pair, P_pair, f_pair, rtol, *, restart, maxiter,
+                    use_precond):
+    """Host-driven GMRES (solve.hostloop): the loop-nest-free fallback for
+    capacity configs where the compiled while-loop nest miscompiles on the
+    backend (recompute preconditioner at n >= 1407 — precond/recompute.py
+    docstring).  Dispatch overhead is one round trip per Arnoldi step,
+    negligible against the multi-second applies it exists for."""
+    from .core.complexlib import CArray
+    from .solve.hostloop import gmres_hostloop
+
+    L, n = A_pair.grid_shape
+    if jax.default_backend() == "tpu":
+        from .ops.pallas.spmv_stencil import pallas_stencil_matvec
+
+        def matvec_of(Ap, v):
+            u = CArray.of(v.reshape(L, n))
+            return pallas_stencil_matvec(Ap, u).cplx.reshape(-1)
+    else:
+        def matvec_of(Ap, v):
+            return stencil_matvec_flat(complexify(Ap), v)
+
+    b_pair = CArray(f_pair.re.reshape(-1), f_pair.im.reshape(-1))
+    M_of = (lambda P, v: P(v)) if use_precond else None
+    return gmres_hostloop(matvec_of, A_pair, b_pair,
+                          M_of=M_of, M_ops=P_pair if use_precond else None,
+                          restart=restart, rtol=float(rtol), maxiter=maxiter)
+
+
 @dataclasses.dataclass
 class SolveReport:
     """Host-side result record (SURVEY.md section 5 'metrics/observability')."""
@@ -300,12 +328,21 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
     _host_sync(P_pair if use_precond else A_pair)
     t1 = time.perf_counter()
 
-    res_pair = _solve_stage(A_pair, P_pair, f_pair,
-                            jnp.asarray(rtol, jnp.result_type(float)),
-                            restart=restart, maxiter=maxiter,
-                            use_precond=use_precond, method=method,
-                            precond_refine=precond_refine,
-                            precision=precision, inner_rtol=inner_rtol)
+    if method == "gmres-hostloop":
+        if precision != "f32" or precond_refine:
+            raise ValueError("gmres-hostloop supports precision='f32' "
+                             "without precond_refine (it is the capacity "
+                             "fallback driver, not the precision path)")
+        res_pair = _solve_hostloop(A_pair, P_pair, f_pair, rtol,
+                                   restart=restart, maxiter=maxiter,
+                                   use_precond=use_precond)
+    else:
+        res_pair = _solve_stage(A_pair, P_pair, f_pair,
+                                jnp.asarray(rtol, jnp.result_type(float)),
+                                restart=restart, maxiter=maxiter,
+                                use_precond=use_precond, method=method,
+                                precond_refine=precond_refine,
+                                precision=precision, inner_rtol=inner_rtol)
     _host_sync(res_pair)
     t2 = time.perf_counter()
 

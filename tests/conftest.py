@@ -15,6 +15,21 @@ if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # tests are CPU-oracle; bench.py uses TPU
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between modules.
+
+    A full-suite run deterministically segfaulted inside XLA:CPU's
+    `backend_compile_and_load` (LLVM JIT) at ~the 75th compile-heavy test
+    (tests/test_precond.py recompute variants) while the same tests pass in
+    isolation and host memory was <10% used — accumulated in-process JIT
+    state, not OOM.  Per-module cache clearing bounds that state; the
+    intra-module jit reuse that keeps the suite fast is unaffected."""
+    yield
+    jax.clear_caches()

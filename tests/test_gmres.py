@@ -138,3 +138,49 @@ def test_gmres_deterministic_history():
     assert np.array_equal(mask, ~np.isnan(h2))
     assert np.array_equal(h1[mask], h2[mask])
     np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_hostloop_matches_jitted_gmres():
+    """The host-driven driver (solve.hostloop) must replicate the compiled
+    solver's iteration count and solution on the same operators — the
+    parity that makes it a valid capacity fallback AND a miscompile
+    isolator (any divergence localizes a bug to the compiled loop nest)."""
+    from helmholtz_tpu.core.complexlib import CArray
+    from helmholtz_tpu.solve.hostloop import gmres_hostloop
+
+    A, b = _random_system(150, seed=7, diag_boost=2.0)
+    Aj = jnp.asarray(A)
+    ref = gmres(lambda v: Aj @ v, jnp.asarray(b),
+                restart=20, rtol=1e-8, maxiter=200)
+    got = gmres_hostloop(lambda Ao, v: Ao @ v, Aj,
+                         CArray.of(jnp.asarray(b)),
+                         restart=20, rtol=1e-8, maxiter=200)
+    assert bool(got.converged)
+    assert abs(int(got.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(got.x.cplx), np.asarray(ref.x),
+                               rtol=1e-6, atol=1e-10)
+    # preconditioned variant
+    Minv = jnp.asarray(np.linalg.inv(A + 0.1 * np.eye(150)))
+    refp = gmres(lambda v: Aj @ v, jnp.asarray(b), M=lambda v: Minv @ v,
+                 restart=20, rtol=1e-10, maxiter=200)
+    gotp = gmres_hostloop(lambda Ao, v: Ao @ v, Aj,
+                          CArray.of(jnp.asarray(b)),
+                          M_of=lambda Mo, v: Mo @ v, M_ops=Minv,
+                          restart=20, rtol=1e-10, maxiter=200)
+    assert bool(gotp.converged)
+    assert abs(int(gotp.iterations) - int(refp.iterations)) <= 1
+
+
+def test_hostloop_end_to_end_recompute():
+    """run_solver(method='gmres-hostloop', precond='recompute'): the exact
+    configuration the driver exists for (the compiled nest miscompiles on
+    the TPU backend at n >= 1407), pinned at oracle scale on CPU."""
+    from helmholtz_tpu.driver import run_solver
+
+    ref = run_solver(63, 12, 4.0, 61.0, precond="recompute", rtol=1e-3,
+                     maxiter=30)
+    r = run_solver(63, 12, 4.0, 61.0, precond="recompute", rtol=1e-3,
+                   maxiter=30, method="gmres-hostloop")
+    assert r.converged
+    assert r.iterations == ref.iterations
+    assert r.true_residual < 2e-3
