@@ -56,10 +56,14 @@ def main():
           file=sys.stderr)
     oracle = _oracle_iters()
     configs = [
-        (1023, 128.0, 100.0, 25.6),   # published reference solve time
-        (511, 64.0, 81.0, 13.7),      # fallback: session-measured reference
+        # (n, omega/2pi, C, reference solve s, reference setup s)
+        # solve: published (PDF p.2); setup: session-measured 58.6 s at
+        # n=511 scaled O(N) to n=1023 (SURVEY.md section 6.2) — the
+        # reference OOM'd before publishing a 1023 setup time
+        (1023, 128.0, 100.0, 25.6, 235.0),
+        (511, 64.0, 81.0, 13.7, 58.6),   # fallback: session-measured
     ]
-    for n, wn, C, ref_s in configs:
+    for n, wn, C, ref_s, ref_setup_s in configs:
         try:
             # g_dtype=bf16: half the G memory + HBM traffic per apply with
             # the hi/lo-split carry; iteration counts match f32/oracle
@@ -124,6 +128,10 @@ def main():
                 sweep.get("roofline_fraction", 0.0), 3),
             "sweep_s_per_apply": round(sweep.get("s_per_apply", 0.0), 4),
             "init_wall_s": round(r3.init_time, 2),
+            "end_to_end_wall_s": round(r3.init_time + r3.solve_time, 2),
+            "vs_baseline_end_to_end": round(
+                (ref_s + ref_setup_s) / max(r3.init_time + r3.solve_time,
+                                            1e-9), 1),
             "init_spread_s": [round(t, 2) for t in
                               r3.config.get("init_spread_s", [])],
             "solve_spread_s": [round(t, 4) for t in

@@ -286,6 +286,14 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
     cdtype = complex_dtype or default_complex_dtype()
     maxiter = maxiter if maxiter is not None else (200 if precond != "none"
                                                   else 20_000)
+    if (method == "gmres" and precond == "recompute" and n >= 1407
+            and precision == "f32" and not precond_refine
+            and jax.default_backend() == "tpu"):
+        # the compiled while-loop nest miscompiles on this backend with the
+        # recompute apply at n >= 1407 (precond/recompute.py envelope);
+        # route to the host-driven driver, which is measured-correct there
+        # and whose dispatch overhead is noise at these apply sizes
+        method = "gmres-hostloop"
     if dedup_hm is None:
         dedup_hm = (problem in fd_problems.ROW_INVARIANT_VELOCITY
                     and fidelity == "corrected")

@@ -33,10 +33,14 @@ n = 1279 (3 iterations, residual 1.7e-7).  At n >= 1407 the SAME program
 inside GMRES's nested while_loops hard-crashes the TPU worker ("kernel
 fault") — plain GMRES and the standalone apply at those sizes are fine,
 chunk size and factor_stride do not matter, so this is a backend
-miscompile of the 6-deep loop nest, not an algorithmic limit.  For
-n in [1407, ~2800] use the sample-compressed stored path (g_compress),
-which covers 2047^2 on one chip; recompute remains the only single-chip
-option beyond that once the backend fault is fixed.
+miscompile of the 6-deep loop nest, not an algorithmic limit.
+WORKAROUND (measured): `run_solver(method="gmres-hostloop")` drives the
+solver loops from the host (solve.hostloop), leaving only the apply in
+the compiled program — n = 1407 converges on-chip in 5 iterations
+(residual 2.7e-4), and the capacity artifact extends past the compressed
+stored path's reach.  The compiled nest remains the default everywhere
+it works; the sample-compressed stored path (g_compress) is the FAST
+single-chip option through 2047^2.
 """
 from __future__ import annotations
 
