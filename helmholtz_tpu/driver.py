@@ -44,6 +44,23 @@ def default_complex_dtype():
     return jnp.complex64
 
 
+def auto_factor_stride(n: int, problem: str) -> int:
+    """Default `factor_stride` when the caller passes None.
+
+    Strided factorization replaces exact corner inverses with linear
+    interpolation between every stride-th subgrid — valid only for
+    velocity fields smooth on the scale of `stride` grid rows
+    (precond.sweeping.factor_corner_inverses).  The auto default
+    therefore applies ONLY to the builtin problems verified smooth
+    (fd.problems.SMOOTH_VELOCITY, iteration parity pinned by tests and
+    recorded by bench.py); any other registered problem gets exact
+    stride 1 unless the user opts in with an explicit factor_stride."""
+    if (jax.default_backend() == "tpu"
+            and problem in fd_problems.SMOOTH_VELOCITY):
+        return max(1, min(8, n // 128))
+    return 1
+
+
 @partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity", "cdtype",
                                    "dedup_hm"))
 def _assemble_stage(wave_num, const, alpha, *, n, b, problem, fidelity,
@@ -228,6 +245,25 @@ def _solve_hostloop(A_pair, P_pair, f_pair, rtol, *, restart, maxiter,
                           restart=restart, rtol=float(rtol), maxiter=maxiter)
 
 
+def _hostloop_min_n() -> int:
+    """Size threshold for the recompute->hostloop auto-reroute.
+
+    Overridable (the miscompile envelope is backend-version specific):
+    HELMHOLTZ_TPU_HOSTLOOP_MIN_N=<n> lowers/raises the cutoff;
+    'off' (or any non-integer) disables the reroute entirely, forcing the
+    compiled nest — the knob for re-testing the envelope after a backend
+    update."""
+    import os
+
+    raw = os.environ.get("HELMHOLTZ_TPU_HOSTLOOP_MIN_N", "")
+    if not raw:
+        return 1407
+    try:
+        return int(raw)
+    except ValueError:
+        return 1 << 62          # 'off': never reroute
+
+
 @dataclasses.dataclass
 class SolveReport:
     """Host-side result record (SURVEY.md section 5 'metrics/observability')."""
@@ -286,11 +322,14 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
     cdtype = complex_dtype or default_complex_dtype()
     maxiter = maxiter if maxiter is not None else (200 if precond != "none"
                                                   else 20_000)
-    if (method == "gmres" and precond == "recompute" and n >= 1407
+    if (method == "gmres" and precond == "recompute"
+            and n >= _hostloop_min_n()
             and precision == "f32" and not precond_refine
             and jax.default_backend() == "tpu"):
         # the compiled while-loop nest miscompiles on this backend with the
-        # recompute apply at n >= 1407 (precond/recompute.py envelope);
+        # recompute apply at n >= 1407 (precond/recompute.py envelope;
+        # verified-good through n = 1279, the 1280-1406 band is untested —
+        # the default cutoff 1407 is the smallest verified-bad size);
         # route to the host-driven driver, which is measured-correct there
         # and whose dispatch overhead is noise at these apply sizes
         method = "gmres-hostloop"
@@ -298,8 +337,7 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
         dedup_hm = (problem in fd_problems.ROW_INVARIANT_VELOCITY
                     and fidelity == "corrected")
     if factor_stride is None:
-        factor_stride = (max(1, min(8, n // 128))
-                         if jax.default_backend() == "tpu" else 1)
+        factor_stride = auto_factor_stride(n, problem)
     if dedup_hm:
         factor_stride = 1
     t0 = time.perf_counter()
@@ -500,8 +538,7 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
     r1s = jnp.linspace(0.2, 0.8, n_sources).astype(wf)
     r2s = jnp.full((n_sources,), source_y, wf)
     if factor_stride is None:
-        factor_stride = (max(1, min(8, n // 128))
-                         if jax.default_backend() == "tpu" else 1)
+        factor_stride = auto_factor_stride(n, problem)
 
     mesh = None
     if mesh_devices:

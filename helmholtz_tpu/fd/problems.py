@@ -94,3 +94,12 @@ PROBLEMS = {
 # fidelity="as-shipped", whose transposed read (code.py:108) makes the
 # sampled velocity layer-dependent even for a waveguide.
 ROW_INVARIANT_VELOCITY = frozenset({"c2_f1", "c2_f2"})
+
+# Velocity fields verified smooth on the scale of a few grid rows (the two
+# reference Gaussians, feature scale ~0.18 in unit-square coordinates) —
+# the precondition for strided factorization with interpolated corner
+# inverses (precond.sweeping.factor_corner_inverses `stride` docstring).
+# The driver's auto `factor_stride` applies ONLY to problems in this set;
+# problems registered later (rough or discontinuous media) default to
+# stride 1 unless the user opts in explicitly.
+SMOOTH_VELOCITY = frozenset({"c1_f1", "c1_f2", "c2_f1", "c2_f2"})

@@ -45,11 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.complexlib import CArray
 
 
-def _kernel(gre, gim, *rest, mode, br, nr, nrhs, n_pad, lerp, nsteps=0):
+def _kernel(*refs, mode, br, nr, nrhs, n_pad, lerp, nsteps=0):
     if lerp:
-        gre2, gim2, lw, u2, c2, carry0, out2, carry, rhs, w = rest
+        (lo_ref, gre, gim, gre2, gim2, lw, u2, c2, carry0,
+         out2, carry, rhs, w) = refs
     else:
-        u2, c2, carry0, out2, carry, rhs, w = rest
+        gre, gim, u2, c2, carry0, out2, carry, rhs, w = refs
         gre2 = gim2 = lw = None
     r = pl.program_id(1)
 
@@ -98,21 +99,26 @@ def _kernel(gre, gim, *rest, mode, br, nr, nrhs, n_pad, lerp, nsteps=0):
     else:
         dot2 = dot
     if lerp:
-        # sample-compressed G: this step's corner inverse is the linear
-        # interpolation (1-t) G_lo + t G_hi of the two bracketing samples.
-        # Lerp is applied to the dot OUTPUTS (bilinear), so the hi/lo bf16
-        # carry split composes unchanged.  Consecutive steps map the same
-        # sample blocks, so the pipeline skips their re-fetch — G traffic
-        # drops ~stride-fold vs the dense stack.
-        # whole weights array lives in SMEM (per-step blocks are below the
-        # (8, 128) tile minimum); recover the logical step from program_id
+        # sample-compressed G: this step's corner inverse is the weighted
+        # combination w0 * G[lo_k] + w1 * G[lo_k + 1] of the two bracketing
+        # samples (w0 = 1-t, w1 = t for interior interpolation; w0 = w1 = 0
+        # yields an exactly-zero G for F-band rows of a row-aligned
+        # distributed shard).  Weights are applied to the dot OUTPUTS
+        # (bilinear) in f32, so the hi/lo bf16 carry split composes
+        # unchanged.  Consecutive steps usually map the same sample blocks,
+        # so the pipeline skips their re-fetch — G traffic drops
+        # ~stride-fold vs the dense stack.  Weights live whole in SMEM
+        # (per-step blocks are below the (8, 128) tile minimum); the
+        # per-step sample index arrives via scalar prefetch (lo_ref drives
+        # the BlockSpec index maps).
         m = pl.program_id(0)
         k = m if mode == "fwd" else nsteps - 1 - m
-        t = lw[k, 0].astype(rhs.dtype)
-        A2 = ((1.0 - t) * dot2(flat, gre[0])
-              + t * dot2(flat, gre2[0])).reshape(2, nrhs, br)
-        B2 = ((1.0 - t) * dot2(flat, gim[0])
-              + t * dot2(flat, gim2[0])).reshape(2, nrhs, br)
+        w0 = lw[k, 0].astype(rhs.dtype)
+        w1 = lw[k, 1].astype(rhs.dtype)
+        A2 = (w0 * dot2(flat, gre[0])
+              + w1 * dot2(flat, gre2[0])).reshape(2, nrhs, br)
+        B2 = (w0 * dot2(flat, gim[0])
+              + w1 * dot2(flat, gim2[0])).reshape(2, nrhs, br)
     else:
         A2 = dot2(flat, gre[0]).reshape(2, nrhs, br)  # [Gre@vr, Gre@vi]
         B2 = dot2(flat, gim[0]).reshape(2, nrhs, br)
@@ -144,12 +150,11 @@ def _pack_rows(x: CArray, n_pad: int) -> jax.Array:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mode", "block_rows", "interpret",
-                                    "g_stride"))
+                   static_argnames=("mode", "block_rows", "interpret"))
 def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
                  mode: str, block_rows: int = 128,
                  interpret: bool = False,
-                 g_stride: int = 0,
+                 g_lo: jax.Array | None = None,
                  g_w: jax.Array | None = None) -> CArray:
     """Run one sweep recursion over the G stack.
 
@@ -165,18 +170,19 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     carry0 : (n,) or (R, n) CArray — initial carry (fwd: the row below;
              bwd: zeros).
 
-    g_stride > 0: G holds SAMPLES of the corner-inverse stack every
-    `g_stride` logical steps (sample i at logical k = min(i*g_stride,
-    K-1)); the kernel lerps the two bracketing samples per step with the
-    per-logical-step weights `g_w` ((K,) f32, K = the logical stack
-    length).  This is a CAPACITY feature: at-rest factor memory drops
-    ~g_stride-fold (2047^2 fits one chip at bf16 stride 8).  Per-step HBM
-    traffic does NOT drop — the panel tiling over r changes the block
-    index every grid iteration, so the pipeline re-fetches both
-    bracketing panels each step (~2x a dense stream; measured 0.204 s vs
-    0.129 s per n=1023 solve).  Sample residency in VMEM would beat it
-    only for n_pad <= ~1024 at bf16, where the dense stack fits HBM
-    anyway — prefer dense storage whenever it fits.
+    g_lo/g_w — sample-compressed G (CAPACITY feature: at-rest factor memory
+    drops ~stride-fold; 2047^2 fits one chip at bf16 stride 8).  G holds
+    SAMPLES of the corner-inverse stack; logical step k applies
+        G_k = g_w[k, 0] * G[g_lo[k]] + g_w[k, 1] * G[g_lo[k] + 1].
+    `g_lo` is (K,) int32 with values <= Mg - 2 (K >= S logical steps,
+    scalar-prefetched so it drives the panel DMA schedule), `g_w` is (K, 2)
+    f32.  Arbitrary sample placement is allowed — equidistant single-chip
+    stacks use lo = min(k // stride, Mg-2), row-aligned distributed shards
+    clamp their band edges and zero their F rows (w = (0, 0)).  Per-step
+    HBM traffic does NOT drop: the panel tiling over r changes the block
+    index every grid iteration, so the pipeline re-fetches both bracketing
+    panels each step (~2x a dense stream; measured 0.204 s vs 0.129 s per
+    n=1023 solve).  Prefer dense storage whenever it fits.
 
     Returns the (S, n) / (S, R, n) CArray of updated rows in natural order.
     """
@@ -188,7 +194,7 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
         u = CArray(u.re[:, None, :], u.im[:, None, :])
         carry0 = CArray(carry0.re[None, :], carry0.im[None, :])
     S, nrhs, n = u.re.shape
-    lerp = g_stride > 0
+    lerp = g_lo is not None
     # Mg == 1 with S > 1 is the shared-G family (row-invariant velocity):
     # one corner inverse broadcast over every sweep step — the panel gets
     # DMA'd once and stays VMEM-resident instead of streaming (S, n, n).
@@ -197,6 +203,7 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
         (S, Mg)
     if lerp:
         assert g_w is not None and g_w.shape[0] >= S, (g_w, S)
+        assert g_lo.shape[0] >= S, (g_lo, S)
     dtype = u.re.dtype
 
     u2 = _pack_rows(u, n_pad)                          # (S, 2, R, n_pad)
@@ -210,13 +217,13 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
 
     if mode == "fwd":
         kidx = lambda m: m                 # logical G index of step m
-        row_map = lambda m, r: (m, 0, 0, 0)
+        row_map = lambda m, r, *_: (m, 0, 0, 0)
     else:
         kidx = lambda m: S - 1 - m
-        row_map = lambda m, r: (S - 1 - m, 0, 0, 0)
+        row_map = lambda m, r, *_: (S - 1 - m, 0, 0, 0)
     if lerp:
-        g_map = lambda m, r: (kidx(m) // g_stride, r, 0)
-        g_map2 = lambda m, r: (kidx(m) // g_stride + 1, r, 0)
+        g_map = lambda m, r, lo: (lo[kidx(m)], r, 0)
+        g_map2 = lambda m, r, lo: (lo[kidx(m)] + 1, r, 0)
     elif shared:
         g_map = lambda m, r: (0, r, 0)
     else:
@@ -233,30 +240,36 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     if lerp:
         g_spec2 = pl.BlockSpec((1, br, n_pad), g_map2,
                                memory_space=pltpu.VMEM)
-        # the whole (S, 1) weight vector sits in SMEM (a few KB), indexed
+        # the whole (S, 2) weight table sits in SMEM (a few KB), indexed
         # by the step id in-kernel — per-step SMEM blocks are not a legal
         # TPU block shape
-        w_spec = pl.BlockSpec((S, 1), lambda m, r: (0, 0),
+        w_spec = pl.BlockSpec((S, 2), lambda m, r, lo: (0, 0),
                               memory_space=pltpu.SMEM)
         in_specs += [g_spec2, g_spec2, w_spec]
-        args += [G.re, G.im, g_w.astype(jnp.float32)[:S, None]]
+        args += [G.re, G.im, g_w.astype(jnp.float32)[:S]]
     in_specs += [row_spec, c_spec, pl.BlockSpec(memory_space=pltpu.VMEM)]
     args += [u2, c2, c0]
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, mode=mode, br=br, nr=nr, nrhs=nrhs,
-                          n_pad=n_pad, lerp=lerp, nsteps=S),
-        grid=(S, nr),
-        in_specs=in_specs,
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((S, 2, nrhs, n_pad), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, nrhs, n_pad), dtype),   # carry
-            pltpu.VMEM((2, nrhs, n_pad), dtype),   # rhs
-            pltpu.VMEM((2, nrhs, n_pad), dtype),   # w = G @ rhs
-        ],
-        interpret=interpret,
-    )(*args)
+    kern = functools.partial(_kernel, mode=mode, br=br, nr=nr, nrhs=nrhs,
+                             n_pad=n_pad, lerp=lerp, nsteps=S)
+    out_shape = jax.ShapeDtypeStruct((S, 2, nrhs, n_pad), dtype)
+    scratch = [
+        pltpu.VMEM((2, nrhs, n_pad), dtype),   # carry
+        pltpu.VMEM((2, nrhs, n_pad), dtype),   # rhs
+        pltpu.VMEM((2, nrhs, n_pad), dtype),   # w = G @ rhs
+    ]
+    if lerp:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(S, nr), in_specs=in_specs,
+            out_specs=row_spec, scratch_shapes=scratch)
+        out = pl.pallas_call(kern, grid_spec=grid_spec, out_shape=out_shape,
+                             interpret=interpret)(
+            g_lo.astype(jnp.int32)[:S], *args)
+    else:
+        out = pl.pallas_call(kern, grid=(S, nr), in_specs=in_specs,
+                             out_specs=row_spec, out_shape=out_shape,
+                             scratch_shapes=scratch, interpret=interpret,
+                             )(*args)
     res = CArray(out[:, 0, :, :n], out[:, 1, :, :n])
     if squeeze:
         res = CArray(res.re[:, 0], res.im[:, 0])

@@ -126,11 +126,15 @@ def _chunk_g(R: RecomputeSweepingPreconditioner, k0, chunk, cdtype):
     """Corner inverses G_k, k = k0..k0+chunk-1 (G_k acts on grid row b+k),
     re-assembled from the velocity field and re-factored on the fly.
 
-    `R.factor_stride` > 1 factors only every stride-th subgrid of the
-    chunk and lerps between samples — the same smooth-in-m interpolation
-    as sweeping._factor_strided (stride-level error far below the
+    `R.factor_stride` > 1 factors only every stride-th subgrid and lerps
+    between samples — the same smooth-in-m interpolation as
+    sweeping._factor_strided (stride-level error far below the
     preconditioner tolerance; iteration parity is the guard), dividing the
-    per-apply re-factorization flops by ~stride."""
+    per-apply re-factorization flops by ~stride.  Sample positions are
+    GLOBALLY anchored at k = 0 (mod stride), exactly like the stored
+    strided path: both sweeps and every chunk size see the same
+    interpolated operator (advisor round 3 — per-chunk anchoring made the
+    recompute operator depend on the auto-chunk size)."""
     n, b = R.n, R.b
     h = 1.0 / (n + 1)
     eta = b * h
@@ -144,16 +148,22 @@ def _chunk_g(R: RecomputeSweepingPreconditioner, k0, chunk, cdtype):
         return _schur_corner_inverse_fraction(hm,
                                               block_layers=R.schur_block)
 
-    if stride == 1 or chunk <= stride:
+    if stride == 1:
         return build(b + k0 + jnp.arange(chunk))
 
-    S = -(-(chunk - 1) // stride) + 1
-    offs = jnp.minimum(jnp.arange(S) * stride, chunk - 1)
-    Ts = build(b + k0 + offs)
-    i = jnp.arange(chunk)
-    seg = jnp.minimum(i // stride, S - 2)
+    M = n - b
+    # the sample family covering rows k0..k0+chunk-1: the multiples of
+    # stride from floor(k0/stride)*stride upward, clamped to the global
+    # endpoint M-1 (always a sample, as in the stored path)
+    S = chunk // stride + 2
+    lo0 = (k0 // stride) * stride
+    offs = jnp.minimum(lo0 + jnp.arange(S) * stride, M - 1)
+    Ts = build(b + offs)
+    k = k0 + jnp.arange(chunk)                    # global k of each row
+    seg = jnp.minimum((k - lo0) // stride, S - 2)
     lo, hi = offs[seg], offs[seg + 1]
-    w = ((i - lo) / (hi - lo)).astype(Ts.real.dtype)[:, None, None]
+    w = ((k - lo) / jnp.maximum(hi - lo, 1)).astype(
+        Ts.real.dtype)[:, None, None]
     return (1.0 - w) * Ts[seg] + w * Ts[seg + 1]
 
 

@@ -423,7 +423,7 @@ def _block_thomas_solve(T, cs, cn, rhs):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["G", "TF", "hf_cs", "hf_cn", "a_cs", "a_cn", "g_w"],
+    data_fields=["G", "TF", "hf_cs", "hf_cn", "a_cs", "a_cn", "g_w", "g_lo"],
     meta_fields=["b", "d2_replace", "g_stride"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -454,9 +454,11 @@ class SweepingPreconditioner:
     b: int
     d2_replace: bool
     # sample-compressed G (g_compress=True at setup): G holds every
-    # g_stride-th corner inverse; g_w[k] is the lerp weight of logical
-    # step k between its two bracketing samples.  g_stride = 0 -> dense.
-    g_w: jax.Array | None = None
+    # g_stride-th corner inverse; logical step k applies
+    # g_w[k,0] * G[g_lo[k]] + g_w[k,1] * G[g_lo[k]+1] (ops.pallas.sweep).
+    # g_stride = 0 -> dense.
+    g_w: jax.Array | None = None      # (M, 2) f32 bracketing weights
+    g_lo: jax.Array | None = None     # (M,) int32 lo sample index <= Ms-2
     g_stride: int = 0
 
     @property
@@ -518,7 +520,7 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
         pad_lanes = jax.default_backend() == "tpu"
     n_pad = (-(-n // 128) * 128) if pad_lanes else n
     g_dtype = g_dtype or hm.cc.real.dtype
-    g_w = None
+    g_w = g_lo = None
     g_stride = 0
     if g_compress and factor_stride > 1 and M > factor_stride:
         R = factor_stride
@@ -531,7 +533,9 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
         k = np.arange(M)
         lo = np.minimum(k // R, Ms - 2)
         denom = np.maximum(pos[lo + 1] - pos[lo], 1)
-        g_w = jnp.asarray((k - pos[lo]) / denom, jnp.float32)
+        t = (k - pos[lo]) / denom
+        g_w = jnp.asarray(np.stack([1.0 - t, t], axis=1), jnp.float32)
+        g_lo = jnp.asarray(lo, jnp.int32)
         g_stride = R
     else:
         G = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=g_dtype,
@@ -547,7 +551,7 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
         G=as_pair(G), TF=as_pair(TF),
         hf_cs=CArray.of(HF.cs), hf_cn=CArray.of(HF.cn),
         a_cs=CArray.of(A.cs), a_cn=CArray.of(A.cn),
-        b=b, d2_replace=d2_replace, g_w=g_w, g_stride=g_stride)
+        b=b, d2_replace=d2_replace, g_w=g_w, g_lo=g_lo, g_stride=g_stride)
 
 
 def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
@@ -619,7 +623,7 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
         from ..ops.pallas.sweep import pallas_sweep
         interp = jax.default_backend() == "cpu"
         rows = lambda z, sl: CArray(z.re[sl], z.im[sl])
-        ck = dict(interpret=interp, g_stride=P.g_stride, g_w=P.g_w)
+        ck = dict(interpret=interp, g_lo=P.g_lo, g_w=P.g_w)
         if M_total > 1:
             u_fwd = pallas_sweep(
                 P.G, CArray.of(u[b + 1:]), rows(P.a_cs, slice(b + 1, None)),
@@ -638,15 +642,21 @@ def apply_preconditioner(P: SweepingPreconditioner, f: jax.Array,
 
         def g_row(k):
             if P.g_stride:
-                # sample-compressed G: lerp the bracketing samples (the
+                # sample-compressed G: weighted bracketing samples (the
                 # XLA fallback reads two panels per step; the traffic win
-                # belongs to the Pallas kernel's revolving buffers)
-                lo = jnp.minimum(k // P.g_stride, Gre.shape[0] - 2)
-                t = P.g_w[k].astype(Gre.dtype)
+                # belongs to the Pallas kernel's revolving buffers).
+                # Weights and accumulation stay f32 even for bf16-stored
+                # G, matching the Pallas kernel's f32 lerp-of-outputs
+                # (advisor round 3: a bf16 weight quantizes t to ~3
+                # digits and diverges from the kernel).
+                wdt = jnp.promote_types(Gre.dtype, jnp.float32)
+                lo = P.g_lo[k]
+                w0 = P.g_w[k, 0].astype(wdt)
+                w1 = P.g_w[k, 1].astype(wdt)
                 pick = lambda g, i: jax.lax.dynamic_index_in_dim(
-                    g, i, 0, keepdims=False)
-                return ((1 - t) * pick(Gre, lo) + t * pick(Gre, lo + 1),
-                        (1 - t) * pick(Gim, lo) + t * pick(Gim, lo + 1))
+                    g, i, 0, keepdims=False).astype(wdt)
+                return (w0 * pick(Gre, lo) + w1 * pick(Gre, lo + 1),
+                        w0 * pick(Gim, lo) + w1 * pick(Gim, lo + 1))
             k = 0 if shared_g else k
             return (jax.lax.dynamic_index_in_dim(Gre, k, 0, keepdims=False),
                     jax.lax.dynamic_index_in_dim(Gim, k, 0, keepdims=False))
@@ -722,7 +732,7 @@ def apply_preconditioner_multi(P: SweepingPreconditioner, F: jax.Array,
     cn_top_zeroed = jnp.concatenate(  # entry broadcast over all of them)
         [a_cn[b:-1], jnp.zeros_like(a_cn[-1:])], axis=0)
 
-    ck = dict(interpret=interp, g_stride=P.g_stride, g_w=P.g_w)
+    ck = dict(interpret=interp, g_lo=P.g_lo, g_w=P.g_w)
     if M_total > 1:
         u_fwd = pallas_sweep(
             P.G, to_sbn(u[:, b + 1:]), rows(P.a_cs, slice(b + 1, None)),

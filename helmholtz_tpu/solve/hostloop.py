@@ -170,8 +170,20 @@ def gmres_hostloop(matvec_of: Callable, A_ops, b_pair: CArray, *,
         iters += k
 
         if k:
-            y = np.zeros((m,), cdt)
-            y[:k] = np.linalg.solve(H[:k, :k], g[:k])
+            # Givens can rotate a new column to a zero diagonal without
+            # tripping the happy-breakdown threshold — treat a singular
+            # (or non-finite) triangular system as breakdown, matching
+            # solve.gmres's breakdown semantics, instead of letting
+            # LinAlgError crash the solver.
+            try:
+                y = np.zeros((m,), cdt)
+                y[:k] = np.linalg.solve(H[:k, :k], g[:k])
+            except np.linalg.LinAlgError:
+                stalled = True
+                break
+            if not np.all(np.isfinite(y[:k])):
+                stalled = True
+                break
             y_pair = CArray(jnp.asarray(np.real(y), b_pair.re.dtype),
                             jnp.asarray(np.imag(y), b_pair.re.dtype))
             x_pair = form_x(x_pair, V_pair, y_pair)

@@ -29,6 +29,7 @@ def save_preconditioner(path: str, P: SweepingPreconditioner) -> str:
         arrays[f"{name}_im"] = np.asarray(c.im)
     if P.g_stride:
         arrays["g_w"] = np.asarray(P.g_w)
+        arrays["g_lo"] = np.asarray(P.g_lo)
     arrays["_meta"] = np.frombuffer(
         json.dumps({"b": P.b, "d2_replace": P.d2_replace,
                     "g_stride": int(P.g_stride)}).encode(),
@@ -48,7 +49,8 @@ def load_preconditioner(path: str) -> SweepingPreconditioner:
     return SweepingPreconditioner(
         **kw, b=int(meta["b"]), d2_replace=bool(meta["d2_replace"]),
         g_stride=g_stride,
-        g_w=(jnp.asarray(z["g_w"]) if g_stride else None))
+        g_w=(jnp.asarray(z["g_w"]) if g_stride else None),
+        g_lo=(jnp.asarray(z["g_lo"]) if g_stride else None))
 
 
 def save_report(path: str, report) -> str:

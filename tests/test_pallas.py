@@ -182,7 +182,8 @@ def test_pallas_sweep_compressed_g_matches_expanded():
                                  factor_stride=4, g_compress=True)
     M = cfg.n - cfg.b
     assert P_cmp.G.re.shape[0] == (M - 1) // 4 + 2     # samples only
-    assert P_cmp.g_stride == 4 and P_cmp.g_w.shape == (M,)
+    assert P_cmp.g_stride == 4 and P_cmp.g_w.shape == (M, 2)
+    assert P_cmp.g_lo.shape == (M,)
 
     rng = np.random.default_rng(7)
     f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
