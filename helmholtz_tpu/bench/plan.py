@@ -71,6 +71,53 @@ def plan(n: int, b: int = 12, batch: int = 1, restart: int = 20,
     }
 
 
+def plan_distributed(n: int, b: int = 12, devices: int = 8,
+                     factor_stride: int = 8, g_dtype: str = "bf16",
+                     g_compress: bool = True, pad_lanes: bool = True,
+                     hbm_gb: float = 16.0) -> dict:
+    """Per-device budget of the distributed strided/compressed setup
+    (dist.factor.distributed_setup): how much G each device stores and how
+    many subgrid factorizations it pays, vs the dense stride-1 per-band
+    setup.  Mirrors the exact sample-window geometry of dist/factor.py
+    (globally-anchored samples, one-sample band overlap)."""
+    n_pad = -(-n // 128) * 128 if pad_lanes else n
+    M = n - b
+    R = max(1, factor_stride)
+    # distributed_setup requires devices | n; when the target n (e.g. 2047)
+    # is not divisible, budget the padded-rows band ceil(n/D) — the
+    # runnable grid is the next multiple of D
+    n_loc = -(-n // devices)
+    g_item = {"f32": 4, "working": 4, "bf16": 2}[g_dtype]
+
+    if R > 1:
+        Ms = (M - 1) // R + 2
+        widths = []
+        for d in range(devices):
+            k_first = max(d * n_loc, b) - b
+            k_last = (d + 1) * n_loc - 1 - b
+            widths.append(min(k_last // R, Ms - 2) + 1
+                          - min(k_first // R, Ms - 2) + 1)
+        ms_loc = max(widths)
+    else:
+        ms_loc = n_loc
+    subgrids_per_dev = ms_loc if R > 1 else n_loc
+    panels_per_dev = ms_loc if (R > 1 and g_compress) else n_loc
+    per_dev_g = 2 * panels_per_dev * n_pad * n_pad * g_item
+    dense_per_dev_g = 2 * n_loc * n_pad * n_pad * g_item
+    return {
+        "n": n, "b": b, "devices": devices, "factor_stride": R,
+        "g_dtype": g_dtype, "g_compress": bool(g_compress),
+        "rows_per_device": n_loc,
+        "subgrids_factored_per_device": subgrids_per_dev,
+        "setup_flop_fraction_vs_dense": round(subgrids_per_dev / n_loc, 4),
+        "g_panels_per_device": panels_per_dev,
+        "per_device_g_gb": round(per_dev_g / 1e9, 3),
+        "per_device_g_gb_dense": round(dense_per_dev_g / 1e9, 3),
+        "hbm_gb": hbm_gb,
+        "fits_per_device": bool(per_dev_g < 0.92 * hbm_gb * 1e9),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, required=True)
@@ -81,11 +128,20 @@ def main(argv=None):
     ap.add_argument("--g-dtype", default="f32",
                     choices=["f32", "bf16", "working"])
     ap.add_argument("--g-compress-stride", type=int, default=0)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="report the distributed per-device budget too")
+    ap.add_argument("--factor-stride", type=int, default=1)
     args = ap.parse_args(argv)
-    print(json.dumps(plan(args.n, args.b, args.batch, args.restart,
-                          args.hbm_gb, g_dtype=args.g_dtype,
-                          g_compress_stride=args.g_compress_stride),
-                     indent=1))
+    out = plan(args.n, args.b, args.batch, args.restart,
+               args.hbm_gb, g_dtype=args.g_dtype,
+               g_compress_stride=args.g_compress_stride)
+    if args.devices:
+        out["distributed"] = plan_distributed(
+            args.n, args.b, args.devices, args.factor_stride,
+            g_dtype=args.g_dtype,
+            g_compress=args.g_compress_stride > 0 or args.factor_stride > 1,
+            hbm_gb=args.hbm_gb)
+    print(json.dumps(out, indent=1))
     return 0
 
 

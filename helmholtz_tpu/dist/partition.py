@@ -47,16 +47,21 @@ def make_mesh(n_devices: int | None = None, axis_name: str = LAYER_AXIS) -> Mesh
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["G_pad", "TF", "hf_cs", "hf_cn", "a_cs", "a_cn"],
-    meta_fields=["b", "d2_replace"],
+    data_fields=["G_pad", "TF", "hf_cs", "hf_cn", "a_cs", "a_cn",
+                 "g_w", "g_lo"],
+    meta_fields=["b", "d2_replace", "g_stride"],
 )
 @dataclasses.dataclass(frozen=True)
 class DistSweepState:
     """Row-aligned distributed preconditioner state (split-real storage)."""
 
-    G_pad: CArray    # (L, n_pad, n_pad): G_pad[j] acts on row j; zero for
-                     # j < b; trailing dims lane-padded when the source
-                     # preconditioner was built with pad_lanes
+    G_pad: CArray    # dense (g_stride == 0): (L, n_pad, n_pad) — G_pad[j]
+                     # acts on row j, zero for j < b.  Sample-compressed
+                     # (g_stride > 0): (D * Ms_loc, n_pad, n_pad) — each
+                     # device's band of Ms_loc corner-inverse SAMPLES; row
+                     # j applies g_w[j,0]*S[g_lo[j]] + g_w[j,1]*S[g_lo[j]+1]
+                     # over its LOCAL sample shard (ops.pallas.sweep lerp).
+                     # Trailing dims lane-padded when built with pad_lanes.
     TF: CArray       # (b, n, n), replicated
     hf_cs: CArray    # (b, n), replicated
     hf_cn: CArray    # (b, n), replicated
@@ -64,18 +69,63 @@ class DistSweepState:
     a_cn: CArray     # (L, n), row-sharded
     b: int
     d2_replace: bool
+    g_w: jax.Array | None = None   # (L, 2) f32, row-sharded; (0,0) for F rows
+    g_lo: jax.Array | None = None  # (L,) int32 LOCAL lo sample index
+    g_stride: int = 0
 
 
-def dist_state_from_preconditioner(P_: SweepingPreconditioner) -> DistSweepState:
-    """Row-align G by prepending b zero blocks (the F rows have no subgrid)."""
-    if getattr(P_, "g_stride", 0):
-        raise ValueError(
-            "sample-compressed G (g_compress) is a single-chip layout; "
-            "the distributed path factors per-band directly "
-            "(dist.factor.distributed_setup) — set g_compress=False")
+def dist_state_from_preconditioner(P_: SweepingPreconditioner,
+                                   n_devices: int | None = None
+                                   ) -> DistSweepState:
+    """Row-align G by prepending b zero blocks (the F rows have no subgrid).
+
+    For a sample-compressed preconditioner (P_.g_stride > 0) the global
+    sample stack is re-laid out into per-band sample shards — each device
+    gets the contiguous window of GLOBAL samples its rows' brackets touch
+    (bands overlap by one sample at the seams, so no row ever needs a
+    neighbour's shard), with per-row local indices/weights carrying the
+    exact single-chip interpolant: the distributed operator equals the
+    single-chip compressed operator value-for-value.  `n_devices` is
+    required in that case (the band layout depends on it).
+    """
     b = P_.b
     n = P_.G.shape[-1]
-    pad = jnp.zeros((b, n, n), P_.G.re.dtype)
+    gdt = P_.G.re.dtype
+    if getattr(P_, "g_stride", 0):
+        if not n_devices:
+            raise ValueError("compressed G re-layout needs n_devices")
+        import numpy as np
+
+        L = P_.a_cs.shape[0]
+        if L % n_devices:
+            raise ValueError(f"{L} rows not divisible by {n_devices}")
+        n_loc = L // n_devices
+        Ms = P_.G.re.shape[0]
+        glo = np.asarray(P_.g_lo)                     # (M,) global lo index
+        gw = np.asarray(P_.g_w)                       # (M, 2)
+        j = np.arange(L)
+        k = np.clip(j - b, 0, L - b - 1)
+        lo_g = np.where(j >= b, glo[k], 0)
+        s0 = np.array([lo_g[d * n_loc + (b if d == 0 else 0)]
+                       for d in range(n_devices)])
+        s1 = np.array([lo_g[(d + 1) * n_loc - 1] + 1
+                       for d in range(n_devices)])
+        ms_loc = int((s1 - s0 + 1).max())
+        sidx = np.minimum(s0[:, None] + np.arange(ms_loc)[None, :], Ms - 1)
+        G_re = jnp.asarray(np.asarray(P_.G.re)[sidx].reshape(
+            n_devices * ms_loc, n, n))
+        G_im = jnp.asarray(np.asarray(P_.G.im)[sidx].reshape(
+            n_devices * ms_loc, n, n))
+        lo_loc = np.where(j >= b, lo_g - s0[j // n_loc], 0)
+        w = np.where((j >= b)[:, None], gw[k], 0.0)
+        return DistSweepState(
+            G_pad=CArray(G_re, G_im),
+            TF=P_.TF, hf_cs=P_.hf_cs, hf_cn=P_.hf_cn,
+            a_cs=P_.a_cs, a_cn=P_.a_cn, b=b, d2_replace=P_.d2_replace,
+            g_w=jnp.asarray(w, jnp.float32),
+            g_lo=jnp.asarray(lo_loc, jnp.int32),
+            g_stride=P_.g_stride)
+    pad = jnp.zeros((b, n, n), gdt)
     return DistSweepState(
         G_pad=CArray(jnp.concatenate([pad, P_.G.re], axis=0),
                      jnp.concatenate([pad, P_.G.im], axis=0)),
@@ -115,7 +165,10 @@ def shard_problem(mesh: Mesh, A: Stencil5, state: DistSweepState,
         hf_cn=jax.tree.map(repl, state.hf_cn),
         a_cs=jax.tree.map(shard_rows, state.a_cs),
         a_cn=jax.tree.map(shard_rows, state.a_cn),
-        b=state.b, d2_replace=state.d2_replace)
+        b=state.b, d2_replace=state.d2_replace,
+        g_w=None if state.g_w is None else shard_rows(state.g_w),
+        g_lo=None if state.g_lo is None else shard_rows(state.g_lo),
+        g_stride=state.g_stride)
     f_ndim = (f_grid.re if isinstance(f_grid, CArray) else f_grid).ndim
     f_spec = P(*([None] * f_axis), axis_name,
                *([None] * (f_ndim - f_axis - 1)))

@@ -80,7 +80,8 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
     # closure per call).
     cache_key = (mesh, axis_name, L, n, ndev, use_precond, batched,
                  f_grid.shape, str(f_grid.dtype), str(A.cc.dtype),
-                 state_sh.b, state_sh.d2_replace, restart, float(rtol),
+                 state_sh.b, state_sh.d2_replace, state_sh.g_stride,
+                 restart, float(rtol),
                  int(maxiter), sweep_impl, precision, int(precond_refine),
                  float(inner_rtol))
     cached = _SOLVE_CACHE.get(cache_key)
@@ -182,7 +183,10 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
             hf_cn=jax.tree.map(lambda _: repl, state_sh.hf_cn),
             a_cs=jax.tree.map(lambda _: P(axis_name), state_sh.a_cs),
             a_cn=jax.tree.map(lambda _: P(axis_name), state_sh.a_cn),
-            b=state_sh.b, d2_replace=state_sh.d2_replace),
+            b=state_sh.b, d2_replace=state_sh.d2_replace,
+            g_w=None if state_sh.g_w is None else P(axis_name),
+            g_lo=None if state_sh.g_lo is None else P(axis_name),
+            g_stride=state_sh.g_stride),
         row,
     )
     out_specs = KrylovResult(

@@ -90,11 +90,30 @@ def dist_apply_preconditioner(S: DistSweepState, f_local: jax.Array, *,
     TF = S.TF.cplx
     hf_cs, hf_cn = S.hf_cs.cplx, S.hf_cn.cplx
     a_cs, a_cn = S.a_cs.cplx, S.a_cn.cplx
-    Gre, Gim = S.G_pad.re, S.G_pad.im                      # (n_loc, np, np)
+    # dense: (n_loc, np, np) row-aligned; compressed (S.g_stride > 0):
+    # (Ms_loc, np, np) SAMPLES with per-row local indices/weights
+    Gre, Gim = S.G_pad.re, S.G_pad.im
     n_pad = Gre.shape[-1]
+    compressed = S.g_stride > 0
     if impl == "auto":
         impl = ("pallas" if (jax.default_backend() == "tpu"
                              and n_pad % 128 == 0) else "xla")
+
+    wdt = jnp.promote_types(Gre.dtype, jnp.float32)
+
+    def g_panel(k):
+        """Corner inverse applied at LOCAL row k (weighted samples when
+        compressed — f32 weights, matching ops.pallas.sweep's lerp)."""
+        pick = lambda g, i: jax.lax.dynamic_index_in_dim(
+            g, i, 0, keepdims=False)
+        if compressed:
+            lo = S.g_lo[k]
+            w0 = S.g_w[k, 0].astype(wdt)
+            w1 = S.g_w[k, 1].astype(wdt)
+            pickw = lambda g, i: pick(g, i).astype(wdt)
+            return (w0 * pickw(Gre, lo) + w1 * pickw(Gre, lo + 1),
+                    w0 * pickw(Gim, lo) + w1 * pickw(Gim, lo + 1))
+        return pick(Gre, k), pick(Gim, k)
 
     up_perm = [(i, i + 1) for i in range(n_devices - 1)]
     down_perm = [(i, i - 1) for i in range(1, n_devices)]
@@ -109,15 +128,19 @@ def dist_apply_preconditioner(S: DistSweepState, f_local: jax.Array, *,
     def pallas_local(u_loc, c_rows, carry0, mode):
         """One device-local sweep through the Pallas kernel.
 
-        u_loc: (B, S, n); c_rows: (S, n); carry0: (B, n).  Returns the
-        updated rows plus (fwd only) the outgoing pre-multiplied carry.
+        u_loc: (B, S, n); c_rows: (S, n); carry0: (B, n).  Logical step
+        alignment: the kernel's step m maps to local row m (fwd, which
+        updates row m+1 with row m's panel) or local row S-1-m (bwd), so
+        the per-row g_lo/g_w shards pass through unsliced — the kernel
+        takes the leading S entries itself.
         """
         from ..ops.pallas.sweep import pallas_sweep
         interp = jax.default_backend() == "cpu"
         to_sbn = lambda x: CArray.of(jnp.swapaxes(x, 0, 1))
+        ck = (dict(g_lo=S.g_lo, g_w=S.g_w) if compressed else {})
         out = pallas_sweep(CArray(Gre, Gim), to_sbn(u_loc),
                            CArray.of(c_rows), CArray.of(carry0),
-                           mode=mode, interpret=interp)
+                           mode=mode, interpret=interp, **ck)
         return jnp.swapaxes(out.cplx, 0, 1)
 
     # --- forward sweep (staged) ------------------------------------------
@@ -126,13 +149,15 @@ def dist_apply_preconditioner(S: DistSweepState, f_local: jax.Array, *,
     # then t_out = G[last] @ u_new[last].
     def local_fwd_xla(t0, u_loc):
         def step(t, inp):
-            u_j, cs_j, gre, gim, jg = inp
+            u_j, cs_j, jg, k = inp
             u_new = jnp.where(jg >= b + 1, u_j - cs_j[None, :] * t, u_j)
+            gre, gim = g_panel(k)
             t_new = _g_matvec(gre, gim, u_new)
             t_new = jnp.where(jg >= b, t_new, t)
             return t_new, u_new
         t_last, u_out = jax.lax.scan(
-            step, t0, (jnp.swapaxes(u_loc, 0, 1), a_cs, Gre, Gim, jrows))
+            step, t0, (jnp.swapaxes(u_loc, 0, 1), a_cs, jrows,
+                       jnp.arange(n_loc)))
         return jnp.swapaxes(u_out, 0, 1), t_last
 
     def local_fwd_pallas(t0, u_loc):
@@ -142,7 +167,8 @@ def dist_apply_preconditioner(S: DistSweepState, f_local: jax.Array, *,
             u_out = jnp.concatenate([u0[:, None], u_rest], axis=1)
         else:
             u_out = u0[:, None]
-        t_last = _g_matvec(Gre[-1], Gim[-1], u_out[:, -1])
+        gre_l, gim_l = g_panel(n_loc - 1)
+        t_last = _g_matvec(gre_l, gim_l, u_out[:, -1])
         return u_out, t_last
 
     local_fwd = local_fwd_pallas if impl == "pallas" else local_fwd_xla
@@ -163,8 +189,9 @@ def dist_apply_preconditioner(S: DistSweepState, f_local: jax.Array, *,
     #   as-shipped: u_j = u_j - G_j (u_j + cn_j * u_{j+1})
     def local_bwd_xla(un0, u_loc):
         def step(un, inp):
-            u_j, cn_j, gre, gim, jg = inp
+            u_j, cn_j, jg, k = inp
             cn_eff = jnp.where(jg <= L - 2, cn_j, jnp.zeros_like(cn_j))
+            gre, gim = g_panel(k)
             if S.d2_replace:
                 cand = _g_matvec(gre, gim, u_j - cn_eff[None, :] * un)
             else:
@@ -172,7 +199,8 @@ def dist_apply_preconditioner(S: DistSweepState, f_local: jax.Array, *,
             u_new = jnp.where(jg >= b, cand, u_j)
             return u_new, u_new
         u_first, u_out = jax.lax.scan(
-            step, un0, (jnp.swapaxes(u_loc, 0, 1), a_cn, Gre, Gim, jrows),
+            step, un0, (jnp.swapaxes(u_loc, 0, 1), a_cn, jrows,
+                        jnp.arange(n_loc)),
             reverse=True)
         return jnp.swapaxes(u_out, 0, 1), u_first
 

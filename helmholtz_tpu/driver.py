@@ -563,6 +563,7 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
             A_sh, state, _ = distributed_setup(
                 mesh, n, b, wn, C, alpha, problem, fidelity=fidelity,
                 g_dtype=g_dtype, setup_chunk=setup_chunk,
+                factor_stride=factor_stride, g_compress=g_compress,
                 complex_dtype=cdtype)
             _host_sync(state.TF)
             t1 = time.perf_counter()

@@ -179,7 +179,10 @@ def _sweep_specs(state):
         hf_cn=jax.tree.map(lambda _: repl, state.hf_cn),
         a_cs=jax.tree.map(lambda _: row, state.a_cs),
         a_cn=jax.tree.map(lambda _: row, state.a_cn),
-        b=state.b, d2_replace=state.d2_replace)
+        b=state.b, d2_replace=state.d2_replace,
+        g_w=None if state.g_w is None else row,
+        g_lo=None if state.g_lo is None else row,
+        g_stride=state.g_stride)
 
 
 def _dist_apply(state, f, n_rows, impl="auto", in_spec=None):

@@ -113,11 +113,19 @@ def test_distributed_setup_no_device_holds_full_g():
 
     # bench.plan accounting for the target scale: full G at n=2047 exceeds
     # one 16 GB chip, the 8-device row-sharded setup fits per device.
-    from helmholtz_tpu.bench.plan import plan
+    from helmholtz_tpu.bench.plan import plan, plan_distributed
     p = plan(2047, g_dtype="bf16")
     assert not p["fits_single_chip"]
     assert p["min_devices_row_sharded"] <= 8
     assert p["per_device_gb_at_min"] < 0.92 * p["hbm_gb"]
+    # strided+compressed distributed setup at the config-4/5 point
+    # (VERDICT round 3 item 1 DoD): stride 8 on 8 devices cuts per-device
+    # setup flops to ~1/8 and per-device G to sample panels only
+    pd = plan_distributed(2047, devices=8, factor_stride=8,
+                          g_dtype="bf16", g_compress=True)
+    assert pd["setup_flop_fraction_vs_dense"] < 0.15
+    assert pd["per_device_g_gb"] < 0.15 * pd["per_device_g_gb_dense"]
+    assert pd["fits_per_device"]
 
 
 def test_distributed_setup_solve_end_to_end():
@@ -166,6 +174,105 @@ def test_distributed_multisolve_config5_shape():
                             maxiter=100)
     for rd, rs in zip(recs, recs_s):
         assert rd["iterations"] == rs["iterations"]
+
+
+def test_distributed_strided_setup_matches_single_chip_strided():
+    """Strided distributed factorization (VERDICT round 3 item 1): each
+    device factors only its band's bracketing samples; the expanded dense
+    shards equal the single-chip strided stack leaf-for-leaf (identical
+    sample positions and interpolation weights)."""
+    cfg = HelmholtzConfig(n=32, b=3, wave_num=2.0, const=20.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    P_str = setup_preconditioner(prob.A, hm, cfg.b, factor_stride=4)
+    ref = dist_state_from_preconditioner(P_str)
+    mesh = make_mesh(NDEV)
+    A_sh, state, f_sh = distributed_setup(
+        mesh, cfg.n, cfg.b, cfg.wave_num, cfg.const, cfg.alpha, "c1_f1",
+        factor_stride=4)
+    assert state.g_stride == 0          # dense expanded storage
+    np.testing.assert_allclose(state.G_pad.to_np(), ref.G_pad.to_np(),
+                               rtol=1e-12, atol=1e-12)
+
+    # and the end-to-end distributed solve matches the single-chip strided
+    # iteration count
+    res_d = distributed_solve(mesh, A_sh, state, f_sh, rtol=1e-3,
+                              maxiter=200)
+    from helmholtz_tpu.ops.spmv import stencil_matvec_flat
+    from helmholtz_tpu.solve.gmres import gmres
+    res_s = gmres(lambda v: stencil_matvec_flat(prob.A, v), prob.f_vec,
+                  M=P_str, rtol=1e-3, maxiter=200)
+    assert bool(res_d.converged)
+    assert int(res_d.iterations) == int(res_s.iterations)
+
+
+def test_distributed_compressed_setup_and_solve():
+    """Compressed distributed factorization: every device stores only its
+    sample panels (~stride-fold less factor memory), per-row weights are
+    applied inside the sweep, and the solve matches the single-chip
+    compressed path's iteration count (VERDICT round 3 item 1)."""
+    cfg = HelmholtzConfig(n=32, b=3, wave_num=2.0, const=20.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    P_cmp = setup_preconditioner(prob.A, hm, cfg.b, factor_stride=4,
+                                 g_compress=True)
+    mesh = make_mesh(NDEV)
+    A_sh, state, f_sh = distributed_setup(
+        mesh, cfg.n, cfg.b, cfg.wave_num, cfg.const, cfg.alpha, "c1_f1",
+        factor_stride=4, g_compress=True)
+    assert state.g_stride == 4
+    # shard accounting: sample panels only, uniformly banded
+    n_dev_panels = state.G_pad.re.shape[0]
+    assert n_dev_panels < cfg.n            # fewer panels than rows
+    assert n_dev_panels % NDEV == 0
+    for s in state.G_pad.re.addressable_shards:
+        assert s.data.shape[0] == n_dev_panels // NDEV
+
+    res_d = distributed_solve(mesh, A_sh, state, f_sh, rtol=1e-3,
+                              maxiter=200)
+    from helmholtz_tpu.ops.spmv import stencil_matvec_flat
+    from helmholtz_tpu.solve.gmres import gmres
+    res_s = gmres(lambda v: stencil_matvec_flat(prob.A, v), prob.f_vec,
+                  M=P_cmp, rtol=1e-3, maxiter=200)
+    assert bool(res_d.converged)
+    assert int(res_d.iterations) == int(res_s.iterations)
+    np.testing.assert_allclose(res_d.x.to_np(), np.asarray(res_s.x),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_compressed_state_from_preconditioner_apply_exact():
+    """dist_state_from_preconditioner re-lays the single-chip compressed
+    sample stack into per-band shards carrying the EXACT single-chip
+    interpolant — the distributed apply equals the single-chip compressed
+    apply to roundoff (both impls)."""
+    from helmholtz_tpu.precond.sweeping import apply_preconditioner
+
+    cfg = HelmholtzConfig(n=32, b=3, wave_num=2.0, const=20.0)
+    prob = assemble_problem(cfg, "c1_f1")
+    hm = stencil.build_hm_stencils(cfg.n, cfg.b, cfg.const, cfg.eta,
+                                   cfg.omega, cfg.h, prob.c_full,
+                                   fidelity=cfg.fidelity)
+    P_cmp = setup_preconditioner(prob.A, hm, cfg.b, factor_stride=4,
+                                 g_compress=True, pad_lanes=True)
+    state = dist_state_from_preconditioner(P_cmp, n_devices=NDEV)
+    assert state.g_stride == 4
+
+    from test_dist import _dist_apply
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+    u_ref = np.asarray(apply_preconditioner(P_cmp, f, impl="xla"))
+    for impl in ("xla", "pallas"):
+        u_d = _dist_apply(state, f, cfg.n, impl=impl)
+        np.testing.assert_allclose(u_d, u_ref, rtol=1e-9, atol=1e-9)
+
+    # converter refuses silently wrong layouts
+    with pytest.raises(ValueError):
+        dist_state_from_preconditioner(P_cmp)
 
 
 def test_distributed_setup_bf16_storage():
