@@ -128,13 +128,31 @@ def measure_spmv(n: int = 1023, use_pallas: bool = True) -> dict:
     dt = _timed_loop(step, u0, iters=50, args=(A_pair,))
     nnz = 5 * n * n - 4 * n
     itemsize = np.dtype(u0.re.dtype).itemsize
-    # Two traffic models: 14 arrays (coeffs + u + y — the GMRES situation,
-    # where the vector comes from HBM) and 10 arrays (coeffs only — the
-    # benchmark loop situation, where XLA keeps the u/y carry resident in
-    # VMEM).  The truth for this loop is the latter; both are reported.
+    # Two traffic models: 14 arrays (coeffs + u read + y written — the
+    # GMRES situation, where the vector comes from and returns to HBM) and
+    # 10 arrays (coeffs only — the benchmark loop situation, where XLA
+    # keeps the u/y carry resident in VMEM).  The truth for this loop is
+    # the latter; both are reported.
+    #
+    # DENOMINATOR METHODOLOGY (VERDICT round 3, Weak #1): the FRACTION is
+    # computed only for the model that describes this loop's real traffic
+    # — the coeff model (10 read arrays, 0 writes; u/y live in VMEM) —
+    # roofed against the peak matching that mix: the measured READ-ONLY
+    # bandwidth (roofing the ~pure-read kernel against the 1R:1W
+    # streaming-copy rate was what produced the impossible 1.012 in
+    # BENCH_r03).  The full 14-array model is the GMRES-situation
+    # traffic HYPOTHESIS (u read from / y written to HBM); since those
+    # bytes are not actually moved by this loop, it is reported as an
+    # effective-GB/s figure plus its matching blended peak
+    # (12R:2W, 1/W = 2/S - 1/R from the two measured primitives) for
+    # context — never as a fraction.
     gb_full = 14 * itemsize * n * n / 1e9
     gb_coeff = 10 * itemsize * n * n / 1e9
-    bw = measure_streaming_bw()
+    bw_stream = measure_streaming_bw()
+    bw_read = measure_read_bw()
+    inv_w = max(2.0 / bw_stream - 1.0 / bw_read, 1.0 / bw_read)
+    peak_coeff = bw_read
+    peak_full = 14.0 / (12.0 / bw_read + 2.0 * inv_w)
     return {
         "kernel": "pallas_stencil_spmv" if use_pallas else "xla_stencil_spmv",
         "n": n,
@@ -143,8 +161,15 @@ def measure_spmv(n: int = 1023, use_pallas: bool = True) -> dict:
         "gnnz_per_s": nnz / dt / 1e9,
         "effective_gb_per_s_full_traffic": gb_full / dt,
         "effective_gb_per_s_coeff_traffic": gb_coeff / dt,
-        "measured_stream_bw_gb_s": bw,
-        "roofline_fraction": (gb_coeff / dt) / bw,
+        "measured_stream_bw_gb_s": bw_stream,
+        "measured_read_bw_gb_s": bw_read,
+        "peak_gb_s_coeff_model": peak_coeff,
+        "peak_gb_s_full_model": peak_full,
+        "traffic_model": "fraction = coeff model (10R:0W, the loop's real "
+                         "traffic) / read peak; full model (14 arrays, "
+                         "12R:2W) is the GMRES-situation hypothesis — "
+                         "GB/s + blended peak only, no fraction",
+        "roofline_fraction": (gb_coeff / dt) / peak_coeff,
     }
 
 
@@ -184,7 +209,11 @@ def measure_sweep(n: int = 1023, b: int = 12, g_dtype: str = "working") -> dict:
     M, n_pad = P.G.re.shape[0], P.G.re.shape[-1]
     itemsize = np.dtype(P.G.re.dtype).itemsize
     g_gb = 2 * 2 * M * n_pad * n_pad * itemsize / 1e9   # 2 passes, re+im
-    bw = measure_read_bw()     # the sweep's G traffic is read-only
+    # The sweep's modeled traffic is the G stream alone — reads; the row
+    # vectors it writes are O(M n), a ~1/n fraction of the G bytes — so
+    # its matched peak is the read-only bandwidth (denominator methodology
+    # in measure_spmv).
+    bw = measure_read_bw()
     return {
         "kernel": "sweep_apply",
         "n": n,
@@ -193,5 +222,7 @@ def measure_sweep(n: int = 1023, b: int = 12, g_dtype: str = "working") -> dict:
         "g_traffic_gb_per_apply": g_gb,
         "effective_gb_per_s": g_gb / dt,
         "measured_read_bw_gb_s": bw,
+        "traffic_model": "G stream 2 passes, pure-read vs read peak "
+                         "(writes are O(M n), ~1/n of G bytes)",
         "roofline_fraction": (g_gb / dt) / bw,
     }

@@ -415,6 +415,59 @@ def single_chip_anchor(n=1023, b=12, g_dtype="bf16") -> dict:
     }
 
 
+def setup_anchor(n=1023, b=12, g_dtype="bf16", factor_stride=None,
+                 reps=3) -> dict:
+    """Real-chip 1-device-mesh SETUP anchor (VERDICT round 3, Weak #3 /
+    item 8): `distributed_setup` on a 1-device mesh vs the plain
+    single-chip assemble+factor stages, warm-executable walls (wave_num is
+    traced in both, so distinct frequencies reuse the compiled setup —
+    exactly how a frequency sweep hits these paths).  A ratio ~1 completes
+    the "distribution costs nothing at D=1" story for BOTH phases (the
+    apply half is `single_chip_anchor`)."""
+    from ..dist import distributed_setup, make_mesh
+    from ..driver import (_assemble_stage, _factor_stage,
+                          auto_factor_stride, default_complex_dtype)
+
+    cdtype = default_complex_dtype()
+    wf = jnp.result_type(float)
+    if factor_stride is None:
+        factor_stride = auto_factor_stride(n, "c1_f1")
+    mesh = make_mesh(1)
+
+    def single(wn):
+        t0 = time.perf_counter()
+        (A, hm, _), _ = _assemble_stage(
+            jnp.asarray(wn, wf), jnp.asarray(100.0, wf),
+            jnp.asarray(2.0, wf), n=n, b=b, problem="c1_f1",
+            fidelity="corrected", cdtype=cdtype)
+        P = _factor_stage(A, hm, b=b, hf_full_coupling=True,
+                          d2_replace=True, setup_chunk=128,
+                          g_dtype=g_dtype, factor_stride=factor_stride)
+        _sync(P.TF)
+        return time.perf_counter() - t0
+
+    def dist(wn):
+        t0 = time.perf_counter()
+        _, state, _ = distributed_setup(
+            mesh, n, b, wn, 100.0, 2.0, "c1_f1", g_dtype=g_dtype,
+            factor_stride=factor_stride, complex_dtype=cdtype)
+        _sync(state.TF)
+        return time.perf_counter() - t0
+
+    single(16.0)                                   # compile
+    dist(16.05)
+    wns = 16.1 + 0.01 * np.arange(reps)
+    t_single = float(np.median([single(w) for w in wns]))
+    t_dist = float(np.median([dist(w + 0.005) for w in wns]))
+    return {
+        "n": n, "b": b, "g_dtype": g_dtype,
+        "factor_stride": int(factor_stride),
+        "single_chip_setup_s": t_single,
+        "dist_1dev_setup_s": t_dist,
+        "ratio": t_dist / max(t_single, 1e-12),
+    }
+
+
 def main(argv=None):
     import argparse
 
@@ -433,6 +486,7 @@ def main(argv=None):
                          ndevs=tuple(args.ndevs))
     if args.anchor:
         rep["single_chip_anchor"] = single_chip_anchor()
+        rep["setup_anchor"] = setup_anchor()
     js = json.dumps(rep, indent=1)
     print(js)
     if args.out:

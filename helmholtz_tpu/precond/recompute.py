@@ -179,9 +179,18 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
     simultaneously) plus one static tail chunk; within a chunk the rows
     update through a `lax.scan` whose carry crosses chunk boundaries
     through the in-place block write.
+
+    f: (L, n), or (L, n, B) for a batch of right-hand sides — the whole
+    batch rides ONE chunk-G rematerialization (the chunk factorizations
+    are RHS-independent, so B solves cost ~one solve of refactor flops;
+    each step's matvec widens to an (n, n) x (n, B) MXU matmul).  The
+    batched entry point is `apply_recompute_multi`.
     """
     b = R.b
     L, n = R.grid_shape
+    batched = f.ndim == 3
+    # broadcast helper: per-row coupling vectors (n,) against (n, B) rows
+    bc = (lambda v: v[:, None]) if batched else (lambda v: v)
     cdtype = (R.TF.re.dtype.type(0) + 1j * R.TF.im.dtype.type(0)).dtype
     TF = R.TF.cplx
     hf_cs, hf_cn = R.hf_cs.cplx, R.hf_cn.cplx
@@ -195,8 +204,14 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
     chunk = min(chunk, M)
 
     u = f
-    TFuF = _block_thomas_solve(TF, hf_cs, hf_cn, u[:b])
-    u = u.at[b].add(-a_cs[b] * TFuF[b - 1])
+    if batched:
+        thomas = jax.vmap(
+            lambda r: _block_thomas_solve(TF, hf_cs, hf_cn, r),
+            in_axes=2, out_axes=2)
+    else:
+        thomas = lambda r: _block_thomas_solve(TF, hf_cs, hf_cn, r)
+    TFuF = thomas(u[:b])
+    u = u.at[b].add(-bc(a_cs[b]) * TFuF[b - 1])
 
     def g_matvec(g, v):
         return jnp.matmul(g, v, precision=hi)
@@ -205,7 +220,7 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
     # step k (0-based) uses G_k, reads row b+k, writes row b+k+1
     def fstep(carry, inp):
         u_j, cs_j, g = inp
-        new = u_j - cs_j * g_matvec(g, carry)
+        new = u_j - bc(cs_j) * g_matvec(g, carry)
         return new, new
 
     def fwd_block(u, carry, k0, c):
@@ -235,9 +250,9 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
     def bstep(carry, inp):
         u_j, cn_j, g = inp
         if R.d2_replace:
-            new = g_matvec(g, u_j - cn_j * carry)
+            new = g_matvec(g, u_j - bc(cn_j) * carry)
         else:
-            new = u_j - g_matvec(g, u_j + cn_j * carry)
+            new = u_j - g_matvec(g, u_j + bc(cn_j) * carry)
         return new, new
 
     def bwd_block(u, carry, k0, c):
@@ -258,6 +273,41 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
     if rem:
         u, carry = bwd_block(u, carry, 0, rem)
 
-    rhs = jnp.zeros_like(TFuF).at[b - 1].set(a_cn[b - 1] * u[b])
-    uF = TFuF - _block_thomas_solve(TF, hf_cs, hf_cn, rhs)
+    rhs = jnp.zeros_like(TFuF).at[b - 1].set(bc(a_cn[b - 1]) * u[b])
+    uF = TFuF - thomas(rhs)
     return jnp.concatenate([uF, u[b:]], axis=0)
+
+
+def apply_recompute_multi(R: RecomputeSweepingPreconditioner,
+                          F: jax.Array) -> jax.Array:
+    """Batched-RHS recompute apply: F of shape (B, L, n) -> (B, L, n).
+
+    The batch is carried as the trailing matmul axis of one
+    `apply_recompute` pass, so all B solves share each chunk's
+    re-factorization — the per-apply refactor flops (the recompute
+    strategy's whole cost, ~1/stride of a full setup) are paid ONCE for
+    the batch instead of per RHS (VERDICT round 3, item 7)."""
+    out = apply_recompute(R, jnp.moveaxis(F, 0, -1))
+    return jnp.moveaxis(out, -1, 0)
+
+
+def batchable_recompute_operator(R: RecomputeSweepingPreconditioner):
+    """Flat-vector callable whose `jax.vmap` rule dispatches to
+    `apply_recompute_multi` — the recompute mirror of
+    `sweeping.batchable_operator`, so vmap-built batched solvers
+    (solve.batched.solve_multi_rhs) share one chunk-G rematerialization
+    across the batch instead of re-factoring per RHS."""
+    L, n = R.grid_shape
+    r_leaves, r_tree = jax.tree.flatten(R)
+
+    @jax.custom_batching.custom_vmap
+    def M_impl(x, *leaves):
+        return jax.tree.unflatten(r_tree, leaves)(x)
+
+    @M_impl.def_vmap
+    def _rule(axis_size, in_batched, xs, *leaves):
+        R_ = jax.tree.unflatten(r_tree, leaves)
+        out = apply_recompute_multi(R_, xs.reshape(axis_size, L, n))
+        return out.reshape(axis_size, L * n), True
+
+    return lambda x: M_impl(x, *r_leaves)

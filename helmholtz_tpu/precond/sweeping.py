@@ -471,6 +471,57 @@ class SweepingPreconditioner:
         return apply_preconditioner(self, x.reshape(L, n)).reshape(-1)
 
 
+def sample_positions(M: int, R: int) -> np.ndarray:
+    """Global sweep-space sample positions for stride-R compression: the
+    multiples of R (anchored at k = 0) with the endpoint M-1 always a
+    sample — the single source of truth shared by the single-chip,
+    distributed, and recompute strided paths."""
+    Ms = (M - 1) // R + 2
+    return np.minimum(np.arange(Ms) * R, M - 1)
+
+
+def compress_tables(M: int, R: int):
+    """Per-row (g_w, g_lo) lerp tables for a stride-R compressed G stack:
+    row k applies g_w[k,0] * S[g_lo[k]] + g_w[k,1] * S[g_lo[k]+1] over the
+    `sample_positions(M, R)` sample stack.  Static given (M, R) — anchor
+    stacks factored at DIFFERENT frequencies share the same tables, which
+    is what makes the omega-lerp of sample panels well-defined
+    (driver.run_multisolve freq amortization)."""
+    pos = sample_positions(M, R)
+    Ms = pos.shape[0]
+    k = np.arange(M)
+    lo = np.minimum(k // R, Ms - 2)
+    denom = np.maximum(pos[lo + 1] - pos[lo], 1)
+    t = (k - pos[lo]) / denom
+    g_w = jnp.asarray(np.stack([1.0 - t, t], axis=1), jnp.float32)
+    g_lo = jnp.asarray(lo, jnp.int32)
+    return g_w, g_lo
+
+
+def preconditioner_from_samples(A: Stencil5, b: int, G_samples: CArray, *,
+                                g_stride: int,
+                                hf_full_coupling: bool = True,
+                                d2_replace: bool = True
+                                ) -> SweepingPreconditioner:
+    """Build the full sweeping preconditioner from an ALREADY-FACTORED
+    stride-compressed sample stack (e.g. the omega-lerp of two anchor
+    frequencies' stacks, driver.run_multisolve) plus the operator A at the
+    target frequency: only H_F is factored here (b small inversions) — the
+    O(M/stride) corner-inverse factorizations, the setup giant, are not
+    re-paid.  Reference analog: the per-frequency `algo2_3` re-factoring
+    the reference pays at every frequency of its sweep (code.py:574-592)."""
+    M = A.cc.shape[0] - b
+    g_w, g_lo = compress_tables(M, g_stride)
+    HF = fd_stencil.extract_hf_stencil(A, b, full_coupling=hf_full_coupling)
+    TF = _schur_t_stack(HF)
+    as_pair = lambda z: z if isinstance(z, CArray) else CArray.of(z)
+    return SweepingPreconditioner(
+        G=as_pair(G_samples), TF=as_pair(TF),
+        hf_cs=CArray.of(HF.cs), hf_cn=CArray.of(HF.cn),
+        a_cs=CArray.of(A.cs), a_cn=CArray.of(A.cn),
+        b=b, d2_replace=d2_replace, g_w=g_w, g_lo=g_lo, g_stride=g_stride)
+
+
 def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
                          hf_full_coupling: bool = True,
                          d2_replace: bool = True,
@@ -524,18 +575,12 @@ def setup_preconditioner(A: Stencil5, hm: Stencil5, b: int, *,
     g_stride = 0
     if g_compress and factor_stride > 1 and M > factor_stride:
         R = factor_stride
-        Ms = (M - 1) // R + 2
-        pos = np.minimum(np.arange(Ms) * R, M - 1)
+        pos = sample_positions(M, R)
         hm_s = jax.tree.map(lambda f: f[jnp.asarray(pos)], hm)
         G = factor_corner_inverses(hm_s, n_pad=n_pad, g_dtype=g_dtype,
                                    setup_chunk=setup_chunk,
                                    schur_block=schur_block)
-        k = np.arange(M)
-        lo = np.minimum(k // R, Ms - 2)
-        denom = np.maximum(pos[lo + 1] - pos[lo], 1)
-        t = (k - pos[lo]) / denom
-        g_w = jnp.asarray(np.stack([1.0 - t, t], axis=1), jnp.float32)
-        g_lo = jnp.asarray(lo, jnp.int32)
+        g_w, g_lo = compress_tables(M, R)
         g_stride = R
     else:
         G = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=g_dtype,

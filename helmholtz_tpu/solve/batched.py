@@ -35,11 +35,16 @@ def solve_multi_rhs(matvec: Callable, B: jax.Array, *,
     A SweepingPreconditioner passed as `M` is wrapped so the whole batch
     rides one stream of its G stack per application (custom vmap rule ->
     the batched Pallas sweep) instead of vmap re-reading the multi-GB
-    factor stack per RHS."""
+    factor stack per RHS; a RecomputeSweepingPreconditioner likewise
+    shares one chunk-G rematerialization across the batch."""
+    from ..precond.recompute import (RecomputeSweepingPreconditioner,
+                                     batchable_recompute_operator)
     from ..precond.sweeping import SweepingPreconditioner, batchable_operator
 
     if isinstance(M, SweepingPreconditioner):
         M = batchable_operator(M)
+    elif isinstance(M, RecomputeSweepingPreconditioner):
+        M = batchable_recompute_operator(M)
     solver = _METHODS[method]
     return jax.vmap(lambda f: solver(matvec, f, M=M, **kw))(B)
 

@@ -184,3 +184,32 @@ def test_hostloop_end_to_end_recompute():
     assert r.converged
     assert r.iterations == ref.iterations
     assert r.true_residual < 2e-3
+
+
+def test_hostloop_batched_matches_single():
+    """gmres_hostloop_batched: per-RHS iteration counts and solutions must
+    match B independent gmres_hostloop runs on the same operators — the
+    lockstep batching shares dispatches, not semantics."""
+    from helmholtz_tpu.core.complexlib import CArray
+    from helmholtz_tpu.solve.hostloop import (gmres_hostloop,
+                                              gmres_hostloop_batched)
+
+    A, b = _random_system(150, seed=3, diag_boost=2.0)
+    Aj = jnp.asarray(A)
+    rng = np.random.default_rng(9)
+    B = np.stack([b, 2.0 * b,
+                  rng.standard_normal(150) + 1j * rng.standard_normal(150)])
+    singles = [gmres_hostloop(lambda Ao, v: Ao @ v, Aj,
+                              CArray.of(jnp.asarray(B[q])),
+                              restart=20, rtol=1e-8, maxiter=200)
+               for q in range(3)]
+    got = gmres_hostloop_batched(
+        lambda Ao, V: jnp.einsum("ij,bj->bi", Ao, V), Aj,
+        CArray.of(jnp.asarray(B)), restart=20, rtol=1e-8, maxiter=200)
+    assert np.asarray(got.converged).all()
+    X = np.asarray(got.x.cplx)
+    for q, ref in enumerate(singles):
+        assert abs(int(np.asarray(got.iterations)[q])
+                   - int(ref.iterations)) <= 1, q
+        np.testing.assert_allclose(X[q], np.asarray(ref.x.cplx),
+                                   rtol=1e-6, atol=1e-9)

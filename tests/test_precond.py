@@ -290,3 +290,43 @@ def test_recompute_stride_interpolates_within_tolerance():
         rel = float(np.abs(np.asarray(got - ref)).max()
                     / np.abs(np.asarray(ref)).max())
         assert rel < 3e-2 * st, (st, ch, rel)   # interp error, not a bug
+
+
+def test_recompute_batched_apply_matches_single():
+    """apply_recompute_multi: the batch rides one chunk-G rematerialization
+    and must equal per-RHS applies to roundoff (linearity included)."""
+    from helmholtz_tpu.precond.recompute import (apply_recompute,
+                                                 apply_recompute_multi,
+                                                 setup_recompute)
+
+    cfg, prob, _ = _setup(n=33, b=6, wave_num=2.0, const=20.0,
+                          pad_lanes=False)
+    R = setup_recompute(cfg.n, cfg.b, cfg.wave_num, cfg.const, cfg.alpha,
+                        prob.c_full, A=prob.A, fidelity=cfg.fidelity,
+                        chunk=7, factor_stride=2)
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+    u1 = apply_recompute(R, f)
+    F = jnp.stack([f, 2.0 * f, 1j * f])
+    U = apply_recompute_multi(R, F)
+    scale = float(np.abs(np.asarray(u1)).max())
+    for got, want in ((U[0], u1), (U[1], 2.0 * u1), (U[2], 1j * u1)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12, atol=1e-12 * scale)
+
+
+def test_multisolve_recompute_batched_rhs():
+    """run_multisolve(precond='recompute'): batched sources through the
+    factor-free path converge with per-RHS counts matching the stored
+    path (VERDICT round 3, item 7)."""
+    from helmholtz_tpu.driver import run_multisolve
+
+    kw = dict(consts=[61.0], n_sources=3, rtol=1e-3, maxiter=60,
+              factor_stride=2)
+    [stored] = run_multisolve(63, 12, [4.0], **kw)
+    [rec] = run_multisolve(63, 12, [4.0], precond="recompute", **kw)
+    assert rec["converged"] == [True, True, True]
+    assert all(r < 1e-2 for r in rec["true_residuals"])
+    for a, s in zip(rec["iterations"], stored["iterations"]):
+        assert abs(a - s) <= 1, (rec["iterations"], stored["iterations"])
