@@ -208,24 +208,47 @@ def cmd_multisolve(args):
     for rec in ckpt.matching(template):
         print(json.dumps(rec))
         ok &= all(rec["converged"])
+    kw = dict(alpha=args.alpha, problem=args.problem,
+              n_sources=args.multi_rhs, rtol=args.rtol,
+              restart=args.restart, maxiter=args.maxiter or 200,
+              fidelity=args.fidelity, g_dtype=args.g_dtype,
+              factor_stride=args.factor_stride, g_compress=args.g_compress,
+              precond=args.msolve_precond, mesh_devices=args.mesh,
+              precision=args.precision,
+              precond_refine=args.precond_refine)
+
+    def emit(rec):
+        ckpt.add(rec)
+        print(json.dumps(rec))
+        if args.metrics:
+            with open(args.metrics, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+        return all(rec["converged"])
+
+    if args.freq_anchor_every > 1:
+        # anchors span the whole list — one call; per-frequency resume
+        # does not compose with spans (an intermediate needs both its
+        # anchors factored), so the amortized sweep re-runs as a unit
+        todo = [(wn, C) for wn, C in zip(args.freqs, consts)
+                if SweepCheckpoint.key_of(
+                    {**template, "wave_num": float(wn),
+                     "const": float(C)}) not in done]
+        if todo:
+            recs = run_multisolve(
+                args.n, args.b, [w for w, _ in todo],
+                consts=[c for _, c in todo],
+                freq_anchor_every=args.freq_anchor_every, **kw)
+            for rec in recs:
+                ok &= emit(rec)
+        return 0 if ok else 1
+
     for wn, C in zip(args.freqs, consts):
         key = SweepCheckpoint.key_of({**template, "wave_num": float(wn),
                                       "const": float(C)})
         if key in done:
             continue
-        [rec] = run_multisolve(
-            args.n, args.b, [wn], consts=[C], alpha=args.alpha,
-            problem=args.problem, n_sources=args.multi_rhs, rtol=args.rtol,
-            restart=args.restart, maxiter=args.maxiter or 200,
-            fidelity=args.fidelity, g_dtype=args.g_dtype,
-            mesh_devices=args.mesh, precision=args.precision,
-            precond_refine=args.precond_refine)
-        ckpt.add(rec)
-        print(json.dumps(rec))
-        ok &= all(rec["converged"])
-        if args.metrics:
-            with open(args.metrics, "a") as fh:
-                fh.write(json.dumps(rec) + "\n")
+        [rec] = run_multisolve(args.n, args.b, [wn], consts=[C], **kw)
+        ok &= emit(rec)
     return 0 if ok else 1
 
 
@@ -301,6 +324,22 @@ def main(argv=None):
                    choices=["working", "f32", "bf16"])
     p.add_argument("--precision", default="f32", choices=["f32", "ir-df32"])
     p.add_argument("--precond-refine", type=int, default=0)
+    p.add_argument("--factor-stride", type=int, default=None, metavar="R",
+                   help="factor every R-th subgrid per frequency "
+                        "(default auto)")
+    p.add_argument("--g-compress", action="store_true",
+                   help="sample-compressed factor storage (capacity "
+                        "layout; required by --freq-anchor-every)")
+    p.add_argument("--freq-anchor-every", type=int, default=1, metavar="K",
+                   help="factor only every K-th frequency of the "
+                        "ascending sweep (plus the last); in between the "
+                        "compressed G samples are the omega-lerp of the "
+                        "bracketing anchors — per-frequency setup drops "
+                        "to one H_F factorization + one panel pass")
+    p.add_argument("--precond", dest="msolve_precond", default="moving_pml",
+                   choices=["moving_pml", "recompute"],
+                   help="recompute: factor-free capacity path; the batch "
+                        "shares each chunk's re-factorization")
     p.add_argument("--metrics", metavar="JSONL")
     p.add_argument("--checkpoint", metavar="JSONL",
                    help="sweep progress file: completed frequencies are "

@@ -1,4 +1,4 @@
-from .factor import distributed_setup
+from .factor import distributed_assemble, distributed_setup
 from .partition import (DistSweepState, LAYER_AXIS,
                         dist_state_from_preconditioner, make_mesh,
                         shard_problem)

@@ -240,6 +240,87 @@ def distributed_setup(mesh: Mesh, n: int, b: int, wave_num, const,
               jnp.asarray(alpha, wf))
 
 
+def distributed_assemble(mesh: Mesh, n: int, b: int, wave_num, const,
+                         alpha=2.0, problem: str = "c1_f1", *,
+                         fidelity: str = "corrected",
+                         d2_replace: bool = True,
+                         hf_full_coupling: bool = True,
+                         complex_dtype=None,
+                         axis_name: str = LAYER_AXIS):
+    """Per-band assembly + H_F factorization WITHOUT the G factorization —
+    the cheap per-frequency work of an omega-amortized DISTRIBUTED sweep
+    (driver.run_multisolve freq_anchor_every + mesh_devices): the caller
+    replaces the returned state's placeholder G_pad with the omega-lerp of
+    two anchor frequencies' per-band sample shards (same lerp tables —
+    `compress_tables` is frequency-independent).
+
+    Returns `(A_sh, state_sh, f_sh)` exactly like `distributed_setup`,
+    except `state_sh.G_pad` is a (L, 1, 1) zero placeholder."""
+    ndev = mesh.shape[axis_name]
+    if n % ndev:
+        raise ValueError(f"grid rows {n} not divisible by {ndev} devices")
+    n_loc = n // ndev
+    if b >= n_loc:
+        raise ValueError(f"PML width b={b} must be < rows-per-device {n_loc}")
+    if complex_dtype is None:
+        from ..driver import default_complex_dtype
+        complex_dtype = default_complex_dtype()
+    wf = jnp.result_type(float)
+    cache_key = ("assemble", mesh, axis_name, n, b, problem, fidelity,
+                 hf_full_coupling, d2_replace, str(jnp.dtype(complex_dtype)))
+    fn = _SETUP_CACHE.get(cache_key)
+    if fn is not None:
+        return fn(jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
+                  jnp.asarray(alpha, wf))
+    cdtype = complex_dtype
+
+    def local_assemble(wn, C, al):
+        d = jax.lax.axis_index(axis_name)
+        rows = d * n_loc + jnp.arange(n_loc)
+        omega = (2.0 * jnp.pi * wn + 1j * al).astype(cdtype)
+        h = 1.0 / (n + 1)
+        eta = b * h
+        c_full, f_grid = fd_problems.PROBLEMS[problem](
+            omega, n, complex_dtype=cdtype)
+        f_loc = jax.lax.dynamic_slice_in_dim(
+            f_grid.astype(cdtype), d * n_loc, n_loc, 0)
+        A_loc = fd_stencil.build_a_stencil_rows(
+            rows, n, b, C, eta, omega, h, c_full,
+            fidelity=fidelity, complex_dtype=cdtype)
+        HF = fd_stencil.build_hf_stencil(
+            n, b, C, eta, omega, h, c_full,
+            full_coupling=hf_full_coupling, fidelity=fidelity,
+            complex_dtype=cdtype)
+        TF = _schur_t_stack(HF)
+        rdt = jnp.finfo(jnp.result_type(cdtype, jnp.float32)).dtype
+        G_ph = CArray(jnp.zeros((n_loc, 1, 1), rdt),
+                      jnp.zeros((n_loc, 1, 1), rdt))
+        state = DistSweepState(
+            G_pad=G_ph, TF=CArray.of(TF),
+            hf_cs=CArray.of(HF.cs), hf_cn=CArray.of(HF.cn),
+            a_cs=CArray.of(A_loc.cs), a_cn=CArray.of(A_loc.cn),
+            b=b, d2_replace=d2_replace)
+        return pairify(A_loc), state, pairify(f_loc)
+
+    row = P(axis_name)
+    repl = P()
+    out_specs = (
+        jax.tree.map(lambda _: row, _a_stencil_struct()),
+        DistSweepState(
+            G_pad=CArray(row, row), TF=CArray(repl, repl),
+            hf_cs=CArray(repl, repl), hf_cn=CArray(repl, repl),
+            a_cs=CArray(row, row), a_cn=CArray(row, row),
+            b=b, d2_replace=d2_replace),
+        CArray(row, row),
+    )
+    fn = jax.jit(jax.shard_map(
+        local_assemble, mesh=mesh, in_specs=(repl, repl, repl),
+        out_specs=out_specs, check_vma=False))
+    _SETUP_CACHE[cache_key] = fn
+    return fn(jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
+              jnp.asarray(alpha, wf))
+
+
 def _a_stencil_struct():
     """A Stencil5-of-CArray skeleton for building out_specs trees."""
     from ..core.sparse import Stencil5

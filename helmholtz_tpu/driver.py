@@ -620,10 +620,13 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
     factor_stride argument; iteration parity measured at 20% anchor gaps
     at oracle scale) and only H_F is re-factored.  Requires
     g_compress=True and factor_stride > 1 (anchor stacks are kept as
-    sample panels — two panels ~2/stride of one dense stack), a single
+    sample panels — two panels ~2/stride of one dense stack) and a single
     const for the whole sweep (C shapes the subgrid PML, so mixed-C
-    anchors would lerp different operators), and is a single-chip option.
-    Records gain `setup_mode` ("factor" | "omega_lerp").
+    anchors would lerp different operators).  Composes with
+    `mesh_devices`: anchors factor per-band inside shard_map and
+    intermediates lerp the anchor shards device-local
+    (`dist.factor.distributed_assemble`).  Records gain `setup_mode`
+    ("factor" | "omega_lerp").
 
     Returns one record dict per frequency (per-source iteration counts,
     residuals, timings), in the order of `wave_nums`.
@@ -654,8 +657,6 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
         if precond != "moving_pml":
             raise ValueError("freq_anchor_every amortizes STORED factor "
                              "samples (precond='moving_pml')")
-        if mesh is not None:
-            raise ValueError("freq_anchor_every is a single-chip option")
         if not g_compress or factor_stride <= 1:
             raise ValueError(
                 "freq_anchor_every > 1 requires g_compress=True and "
@@ -672,7 +673,9 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
             restart=restart, maxiter=maxiter, fidelity=fidelity,
             setup_chunk=setup_chunk, g_dtype=g_dtype,
             factor_stride=factor_stride,
-            freq_anchor_every=freq_anchor_every, cdtype=cdtype)
+            freq_anchor_every=freq_anchor_every, cdtype=cdtype,
+            mesh=mesh, mesh_devices=mesh_devices, precision=precision,
+            precond_refine=precond_refine)
 
     from .core.complexlib import tree_to_np
     records = []
@@ -788,18 +791,40 @@ def _g_accounting(P_pair, n, b, g_compress):
     }
 
 
+@jax.jit
+def _omega_lerp_pair(Ga_re, Ga_im, Gb_re, Gb_im, tau):
+    """f32-accumulated lerp of two (identically laid out / sharded) factor
+    sample stacks; sharding propagates through the elementwise op, so the
+    distributed per-band shards lerp in place on their devices."""
+    t = tau.astype(jnp.float32)
+    gdt = Ga_re.dtype
+
+    def lerp(a, b_):
+        return ((1.0 - t) * a.astype(jnp.float32)
+                + t * b_.astype(jnp.float32)).astype(gdt)
+
+    return lerp(Ga_re, Gb_re), lerp(Ga_im, Gb_im)
+
+
 def _run_multisolve_amortized(n, b, wave_nums, const, alpha, problem,
                               r1s, r2s, *, n_sources, rtol, restart,
                               maxiter, fidelity, setup_chunk, g_dtype,
-                              factor_stride, freq_anchor_every, cdtype):
+                              factor_stride, freq_anchor_every, cdtype,
+                              mesh=None, mesh_devices=None,
+                              precision="f32", precond_refine=0):
     """Amortized multi-frequency sweep (run_multisolve freq_anchor_every):
     factor anchors, omega-lerp the compressed sample stacks in between.
 
     Frequencies are processed in ascending-omega order span by span; at
     most two anchor sample panels (plus one lerped panel) are resident —
-    ~3/stride of one dense G stack.  Records are returned in the caller's
-    `wave_nums` order."""
-    from .core.complexlib import tree_to_np
+    ~3/stride of one dense G stack.  With `mesh`, anchors factor through
+    `distributed_setup` (per-band sample shards, no single-device stack)
+    and intermediates lerp the anchor shards device-local + re-run only
+    the per-band assembly (`dist.factor.distributed_assemble`).  Records
+    are returned in the caller's `wave_nums` order."""
+    import dataclasses
+
+    from .core.complexlib import CArray, tree_to_np
 
     wf = jnp.result_type(float)
     K = len(wave_nums)
@@ -809,6 +834,14 @@ def _run_multisolve_amortized(n, b, wave_nums, const, alpha, problem,
     records: dict[int, dict] = {}
 
     def factor_at(wn):
+        if mesh is not None:
+            from .dist import distributed_setup
+            A_sh, state, _ = distributed_setup(
+                mesh, n, b, wn, const, alpha, problem, fidelity=fidelity,
+                g_dtype=g_dtype, setup_chunk=setup_chunk,
+                factor_stride=factor_stride, g_compress=True,
+                complex_dtype=cdtype)
+            return A_sh, state
         (A_pair, hm_pair, _), _ = _assemble_stage(
             jnp.asarray(wn, wf), jnp.asarray(const, wf),
             jnp.asarray(alpha, wf), n=n, b=b, problem=problem,
@@ -819,15 +852,47 @@ def _run_multisolve_amortized(n, b, wave_nums, const, alpha, problem,
                                g_compress=True)
         return A_pair, P_pair
 
+    def lerp_at(wn, P_p, P_a, tau):
+        """Preconditioner at an intermediate frequency: cheap assembly +
+        omega-lerped G samples from the bracketing anchors."""
+        if mesh is not None:
+            from .dist import distributed_assemble
+            A_sh, S0, _ = distributed_assemble(
+                mesh, n, b, wn, const, alpha, problem, fidelity=fidelity,
+                complex_dtype=cdtype)
+            gre, gim = _omega_lerp_pair(
+                P_p.G_pad.re, P_p.G_pad.im, P_a.G_pad.re, P_a.G_pad.im,
+                jnp.asarray(tau, wf))
+            S = dataclasses.replace(
+                S0, G_pad=CArray(gre, gim), g_w=P_a.g_w, g_lo=P_a.g_lo,
+                g_stride=P_a.g_stride)
+            return A_sh, S
+        A_i = _assemble_a_stage(
+            jnp.asarray(wn, wf), jnp.asarray(const, wf),
+            jnp.asarray(alpha, wf), n=n, b=b, problem=problem,
+            fidelity=fidelity, cdtype=cdtype)
+        P_i = _precond_from_samples_stage(
+            A_i, P_p.G, P_a.G, jnp.asarray(tau, wf), b=b,
+            g_stride=factor_stride)
+        return A_i, P_i
+
     def solve_and_record(idx, A_pair, P_pair, t0, t1, mode):
         wn = wave_nums[idx]
         F_pair = _sources_stage(jnp.asarray(wn, wf), jnp.asarray(alpha, wf),
                                 r1s, r2s, n=n, problem=problem,
                                 cdtype=cdtype)
-        res_pair = _msolve_stage(A_pair, P_pair, F_pair,
-                                 jnp.asarray(rtol, wf), restart=restart,
-                                 maxiter=maxiter)
-        _host_sync(res_pair)
+        if mesh is not None:
+            from .dist import distributed_solve
+            res_pair = distributed_solve(
+                mesh, A_pair, P_pair, F_pair, rtol=rtol, restart=restart,
+                maxiter=maxiter, precision=precision,
+                precond_refine=precond_refine)
+            _host_sync(res_pair.iterations)
+        else:
+            res_pair = _msolve_stage(A_pair, P_pair, F_pair,
+                                     jnp.asarray(rtol, wf), restart=restart,
+                                     maxiter=maxiter)
+            _host_sync(res_pair)
         t2 = time.perf_counter()
         A_np = tree_to_np(A_pair)
         F_np = F_pair.to_np().reshape(n_sources, n, n)
@@ -835,7 +900,7 @@ def _run_multisolve_amortized(n, b, wave_nums, const, alpha, problem,
         true_res = [float(np.linalg.norm(
             (_host_stencil_matvec(A_np, X[k]) - F_np[k]).ravel())
             / np.linalg.norm(F_np[k].ravel())) for k in range(n_sources)]
-        records[idx] = {
+        rec = {
             "n": n, "b": b, "wave_num": wn, "const": const,
             "problem": problem, "n_sources": n_sources, "rtol": rtol,
             "iterations": np.asarray(res_pair.iterations).tolist(),
@@ -846,15 +911,22 @@ def _run_multisolve_amortized(n, b, wave_nums, const, alpha, problem,
             "setup_mode": mode, "g_dtype": g_dtype,
             "factor_stride": factor_stride,
             "freq_anchor_every": freq_anchor_every,
-            **_g_accounting(P_pair, n, b, True),
         }
+        if mesh is not None:
+            shard = P_pair.G_pad.re.addressable_shards[0].data
+            rec["mesh_devices"] = int(mesh_devices)
+            rec["per_device_g_bytes"] = int(2 * shard.nbytes)
+        else:
+            rec.update(_g_accounting(P_pair, n, b, True))
+        records[idx] = rec
 
+    sync_of = lambda P: (P.TF if mesh is not None else P)
     prev = None                       # (sorted position, wn, anchor P)
     for a in anchor_pos:
         idx_a = order[a]
         t0 = time.perf_counter()
         A_a, P_a = factor_at(wave_nums[idx_a])
-        _host_sync(P_a)
+        _host_sync(sync_of(P_a))
         t1 = time.perf_counter()
         solve_and_record(idx_a, A_a, P_a, t0, t1, "factor")
         A_a = None                    # noqa: F841 — free before the span
@@ -866,14 +938,8 @@ def _run_multisolve_amortized(n, b, wave_nums, const, alpha, problem,
                 wn_i = wave_nums[idx]
                 tau = (wn_i - wn_p) / max(wn_a - wn_p, 1e-30)
                 t0 = time.perf_counter()
-                A_i = _assemble_a_stage(
-                    jnp.asarray(wn_i, wf), jnp.asarray(const, wf),
-                    jnp.asarray(alpha, wf), n=n, b=b, problem=problem,
-                    fidelity=fidelity, cdtype=cdtype)
-                P_i = _precond_from_samples_stage(
-                    A_i, P_p.G, P_a.G, jnp.asarray(tau, wf), b=b,
-                    g_stride=factor_stride)
-                _host_sync(P_i)
+                A_i, P_i = lerp_at(wn_i, P_p, P_a, tau)
+                _host_sync(sync_of(P_i))
                 t1 = time.perf_counter()
                 solve_and_record(idx, A_i, P_i, t0, t1, "omega_lerp")
                 A_i = P_i = None      # noqa: F841

@@ -70,15 +70,42 @@ def batched_inverse(A: jax.Array, *, block: int = 256,
     return _blocked_gj(A, block, precision)
 
 
+def _gj_base_style() -> str:
+    """Base-case selector (HELMHOLTZ_TPU_GJ_BASE = xla | pallas): 'pallas'
+    routes the <=128 panel inverse through ops.pallas.gj_inverse — one
+    opaque kernel call instead of a k-step fori_loop of dynamic slices.
+    Wall-time parity inside the blocked recursion (76 vs 74 ms at
+    (85, 1023, 1023), measured), but the compiled PROGRAM is far smaller,
+    which matters inside the capacity-scale solver nests
+    (docs/miscompile_repro.py)."""
+    import os
+
+    return os.environ.get("HELMHOLTZ_TPU_GJ_BASE", "xla")
+
+
 def _blocked_gj(A: jax.Array, block: int, precision=None) -> jax.Array:
     n = A.shape[-1]
-    # Note: routing the <=128 base case through ops.pallas.gj_inverse was
-    # measured at parity with this path inside the full blocked recursion
-    # (76 vs 74 ms at (85, 1023, 1023)) — the panel-update matmuls and
-    # full-X traffic dominate, so the XLA base case stays for simplicity.
-    # The Pallas kernel remains available for standalone batched panel
-    # inverses (e.g. multi-frequency small-n factor batches).
+    # Note: routing the <=128 base case through ops.pallas.gj_inverse is
+    # measured at wall-time parity with the XLA scalar path inside the
+    # full blocked recursion — the panel-update matmuls and full-X traffic
+    # dominate — so the XLA base case stays the default for simplicity;
+    # HELMHOLTZ_TPU_GJ_BASE=pallas selects the kernel (program-size lever
+    # for the capacity solver nests, see _gj_base_style).
     if n <= 64:
+        if (_gj_base_style() == "pallas"
+                and jax.default_backend() == "tpu"
+                and jnp.iscomplexobj(A)):
+            from ..core.complexlib import CArray
+            from .pallas.gj_inverse import pallas_gj_inverse
+
+            batch = A.shape[:-2]
+            B = 1
+            for d in batch:
+                B *= d
+            X = CArray(jnp.real(A).reshape(B, n, n),
+                       jnp.imag(A).reshape(B, n, n))
+            out = pallas_gj_inverse(X)
+            return out.cplx.reshape(*batch, n, n)
         return gauss_jordan_inverse_unpivoted(A)
     block = min(block, max(64, -(-n // 2)))
 

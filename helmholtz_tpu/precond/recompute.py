@@ -34,6 +34,14 @@ inside GMRES's nested while_loops hard-crashes the TPU worker ("kernel
 fault") — plain GMRES and the standalone apply at those sizes are fine,
 chunk size and factor_stride do not matter, so this is a backend
 miscompile of the 6-deep loop nest, not an algorithmic limit.
+MINIMIZED (round 4, docs/miscompile_repro.py): ONE instantiation of this
+apply inside while(while(.)) runs at n = 1407; adding either a SECOND
+instantiation in the outer body (gmres's recomputed-residual check) or
+the Krylov-basis projections next to the one instantiation faults the
+worker — and restructuring the chunk loop (scan / checkpointed bodies,
+HELMHOLTZ_TPU_RECOMPUTE_CHUNK_LOOP) or shrinking the program with a
+Pallas GJ base case (HELMHOLTZ_TPU_GJ_BASE=pallas) does NOT rescue it:
+a program-size/codegen-resource failure, awaiting a backend fix.
 WORKAROUND (measured): `run_solver(method="gmres-hostloop")` drives the
 solver loops from the host (solve.hostloop), leaving only the apply in
 the compiled program — n = 1407 converges on-chip in 5 iterations
@@ -120,6 +128,20 @@ def setup_recompute(n: int, b: int, wave_num, const, alpha, c_full, *,
         a_cs=as_pair(A.cs), a_cn=as_pair(A.cn),
         n=n, b=b, fidelity=fidelity, chunk=chunk, schur_block=schur_block,
         d2_replace=d2_replace, factor_stride=factor_stride)
+
+
+def _chunk_loop_style() -> str:
+    """Chunk-loop structure selector for `apply_recompute`
+    (HELMHOLTZ_TPU_RECOMPUTE_CHUNK_LOOP = fori | scan | checkpoint):
+    the restructuring experiments for the n >= 1407 compiled-nest
+    miscompile (docs/miscompile_repro.py).  The default is whatever the
+    measured envelope says is safest — see the module docstring."""
+    import os
+
+    style = os.environ.get("HELMHOLTZ_TPU_RECOMPUTE_CHUNK_LOOP", "fori")
+    if style not in ("fori", "scan", "checkpoint"):
+        raise ValueError(f"unknown chunk-loop style {style!r}")
+    return style
 
 
 def _chunk_g(R: RecomputeSweepingPreconditioner, k0, chunk, cdtype):
@@ -231,11 +253,29 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
         return jax.lax.dynamic_update_slice_in_dim(u, out, b + 1 + k0, 0), \
             carry
 
+    loop_style = _chunk_loop_style()
+
+    def run_chunks(block, u, carry, offsets):
+        """Loop `block(u, carry, k0) -> (u, carry)` over traced chunk
+        offsets with the selected loop structure — the restructuring knob
+        for the n >= 1407 loop-nest miscompile (docs/miscompile_repro.py):
+        'fori' (default), 'scan' (same trip count as a scan over offsets),
+        'checkpoint' (fori with a rematerialized chunk body)."""
+        if offsets.shape[0] == 0:     # no full chunks (tail-only apply) —
+            return u, carry           # the body would index an empty array
+        body = jax.checkpoint(block) if loop_style == "checkpoint" else block
+        if loop_style == "scan":
+            (u, carry), _ = jax.lax.scan(
+                lambda uc, k0: (block(uc[0], uc[1], k0), None),
+                (u, carry), offsets)
+            return u, carry
+        return jax.lax.fori_loop(
+            0, offsets.shape[0],
+            lambda ci, uc: body(uc[0], uc[1], offsets[ci]), (u, carry))
+
     n_full = (M - 1) // chunk
-    u, carry = jax.lax.fori_loop(
-        0, n_full,
-        lambda ci, uc: fwd_block(uc[0], uc[1], ci * chunk, chunk),
-        (u, u[b]))
+    u, carry = run_chunks(lambda u_, c_, k0: fwd_block(u_, c_, k0, chunk),
+                          u, u[b], jnp.arange(n_full) * chunk)
     tail = (M - 1) - n_full * chunk
     if tail:
         u, carry = fwd_block(u, carry, n_full * chunk, tail)
@@ -265,11 +305,9 @@ def apply_recompute(R: RecomputeSweepingPreconditioner,
 
     n_full_b = M // chunk
     rem = M - n_full_b * chunk          # tail at the BOTTOM (k = 0..rem-1)
-    u, carry = jax.lax.fori_loop(
-        0, n_full_b,
-        lambda ci, uc: bwd_block(uc[0], uc[1], rem + (n_full_b - 1 - ci) * chunk,
-                                 chunk),
-        (u, jnp.zeros_like(u[-1])))
+    u, carry = run_chunks(lambda u_, c_, k0: bwd_block(u_, c_, k0, chunk),
+                          u, jnp.zeros_like(u[-1]),
+                          rem + (n_full_b - 1 - jnp.arange(n_full_b)) * chunk)
     if rem:
         u, carry = bwd_block(u, carry, 0, rem)
 

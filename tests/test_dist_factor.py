@@ -284,3 +284,25 @@ def test_distributed_setup_bf16_storage():
     assert state.G_pad.re.dtype == jnp.bfloat16
     res = distributed_solve(mesh, A_sh, state, f_sh, rtol=1e-3, maxiter=200)
     assert bool(res.converged)
+
+
+def test_distributed_multisolve_freq_amortized():
+    """Omega-amortized DISTRIBUTED sweep: anchors factor per-band inside
+    shard_map, intermediates lerp the anchor sample shards device-local
+    (dist.factor.distributed_assemble) — iteration parity with the
+    per-frequency-refactored distributed sweep, all sources converged."""
+    from helmholtz_tpu.driver import run_multisolve
+
+    freqs = [4.0, 4.1, 4.2]
+    kw = dict(consts=[61.0], n_sources=2, rtol=1e-3, maxiter=60,
+              factor_stride=4, g_compress=True, mesh_devices=4)
+    base = run_multisolve(64, 12, freqs, **kw)
+    amort = run_multisolve(64, 12, freqs, freq_anchor_every=2, **kw)
+    assert [r["setup_mode"] for r in amort] == ["factor", "omega_lerp",
+                                                "factor"]
+    for rb, ra in zip(base, amort):
+        assert ra["converged"] == [True, True]
+        assert all(r < 1e-2 for r in ra["true_residuals"])
+        for ib, ia in zip(rb["iterations"], ra["iterations"]):
+            assert abs(ia - ib) <= 1, (rb["wave_num"], ib, ia)
+        assert ra["per_device_g_bytes"] > 0
