@@ -113,8 +113,8 @@ def _kernel(*refs, mode, br, nr, nrhs, n_pad, lerp, nsteps=0):
         # the BlockSpec index maps).
         m = pl.program_id(0)
         k = m if mode == "fwd" else nsteps - 1 - m
-        w0 = lw[k, 0].astype(rhs.dtype)
-        w1 = lw[k, 1].astype(rhs.dtype)
+        w0 = lw[2 * k].astype(rhs.dtype)
+        w1 = lw[2 * k + 1].astype(rhs.dtype)
         A2 = (w0 * dot2(flat, gre[0])
               + w1 * dot2(flat, gre2[0])).reshape(2, nrhs, br)
         B2 = (w0 * dot2(flat, gim[0])
@@ -240,13 +240,16 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     if lerp:
         g_spec2 = pl.BlockSpec((1, br, n_pad), g_map2,
                                memory_space=pltpu.VMEM)
-        # the whole (S, 2) weight table sits in SMEM (a few KB), indexed
-        # by the step id in-kernel — per-step SMEM blocks are not a legal
-        # TPU block shape
-        w_spec = pl.BlockSpec((S, 2), lambda m, r, lo: (0, 0),
+        # the whole weight table sits in SMEM, indexed by the step id
+        # in-kernel (per-step SMEM blocks are not a legal TPU block
+        # shape).  FLATTENED to 1-D (2S,) = w[2k], w[2k+1]: a 2-D (S, 2)
+        # SMEM window gets its minor dim lane-padded x64 — 1.04 MB at
+        # n = 2047, which alone overflows the 1 MB SMEM budget (found by
+        # the batched 2047 flagship compile); the flat table is 16 KB
+        w_spec = pl.BlockSpec((2 * S,), lambda m, r, lo: (0,),
                               memory_space=pltpu.SMEM)
         in_specs += [g_spec2, g_spec2, w_spec]
-        args += [G.re, G.im, g_w.astype(jnp.float32)[:S]]
+        args += [G.re, G.im, g_w.astype(jnp.float32)[:S].reshape(-1)]
     in_specs += [row_spec, c_spec, pl.BlockSpec(memory_space=pltpu.VMEM)]
     args += [u2, c2, c0]
 
