@@ -77,6 +77,14 @@ def _add_solver_args(p):
                    help="disable the shared-G collapse for row-invariant "
                         "velocity fields (c2 problems under corrected "
                         "sampling factor ONE subgrid by default)")
+    p.add_argument("--stencil", default="5pt", choices=["5pt", "9pt"],
+                   help="discretization: 5pt = the reference scheme; 9pt "
+                        "= compact 9-point blend solved with its own "
+                        "moving-PML sweeping preconditioner "
+                        "(precond.sweeping9 — beyond-reference scope)")
+    p.add_argument("--stencil-gamma", type=float, default=2.0 / 3.0,
+                   help="9-point axis/diagonal blend weight (1 = 5-point "
+                        "cross; 2/3 = classical compact scheme)")
 
 
 def _add_output_args(p):
@@ -110,7 +118,8 @@ def _solve_one(args):
         g_compress=args.g_compress,
         dedup_hm=(False if args.no_dedup_hm else None),
         hf_full_coupling=not args.block_diag_hf,
-        d2_replace=not args.as_shipped_d2)
+        d2_replace=not args.as_shipped_d2,
+        stencil=args.stencil, stencil_gamma=args.stencil_gamma)
 
 
 def cmd_solve(args):

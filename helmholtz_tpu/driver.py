@@ -99,6 +99,43 @@ def _assemble_impl(wave_num, const, alpha, *, n, b, problem, fidelity,
 _G_DTYPES = {"working": None, "f32": jnp.float32, "bf16": jnp.bfloat16}
 
 
+@partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity",
+                                   "cdtype"))
+def _assemble9_stage(wave_num, const, alpha, gamma, *, n, b, problem,
+                     fidelity, cdtype):
+    """9-point assembly: the global Stencil9 operator + the moved-PML
+    9-point subgrid family + the forcing grid (fd.stencil
+    build_a_stencil9 / build_hm_stencils9)."""
+    with jax.named_scope("assemble9"):
+        omega = (2.0 * jnp.pi * wave_num + 1j * alpha).astype(cdtype)
+        h = 1.0 / (n + 1)
+        eta = b * h
+        c_full, f_grid = fd_problems.PROBLEMS[problem](
+            omega, n, complex_dtype=cdtype)
+        A9 = fd_stencil.build_a_stencil9(
+            n, b, const, eta, omega, h, c_full, gamma=gamma,
+            fidelity=fidelity, complex_dtype=cdtype)
+        hm9 = fd_stencil.build_hm_stencils9(
+            n, b, const, eta, omega, h, c_full, gamma=gamma,
+            fidelity=fidelity, complex_dtype=cdtype)
+        return pairify((A9, hm9, f_grid.astype(cdtype)))
+
+
+@partial(jax.jit, static_argnames=("b", "d2_replace", "setup_chunk",
+                                   "g_dtype", "factor_stride"))
+def _factor9_stage(A9_pair, hm9_pair, *, b, d2_replace, setup_chunk,
+                   g_dtype="working", factor_stride=1):
+    from .precond.sweeping9 import setup_preconditioner9
+
+    with jax.named_scope("factor9"):
+        A9, hm9 = complexify((A9_pair, hm9_pair))
+        P = setup_preconditioner9(A9, hm9, b, d2_replace=d2_replace,
+                                  setup_chunk=setup_chunk,
+                                  g_dtype=_G_DTYPES[g_dtype],
+                                  factor_stride=factor_stride)
+        return pairify(P)
+
+
 @partial(jax.jit, static_argnames=("b", "hf_full_coupling", "d2_replace",
                                    "setup_chunk", "g_dtype", "schur_block",
                                    "factor_stride", "g_compress"))
@@ -323,12 +360,96 @@ class SolveReport:
         }
 
 
+@partial(jax.jit, static_argnames=("restart", "maxiter", "use_precond",
+                                   "method"))
+def _solve9_stage(A9_pair, P_pair, f_pair, rtol, *, restart, maxiter,
+                  use_precond, method="gmres"):
+    from .ops.spmv import stencil9_matvec
+
+    A9, f = complexify((A9_pair, f_pair))
+    L, n = A9.cc.shape
+    mv = lambda v: stencil9_matvec(A9, v.reshape(L, n)).reshape(-1)
+    M = P_pair if use_precond else None
+    if method == "gmres":
+        res = gmres(mv, f.reshape(-1), M=M, restart=restart, rtol=rtol,
+                    maxiter=maxiter)
+    elif method == "bicgstab":
+        res = bicgstab(mv, f.reshape(-1), M=M, rtol=rtol, maxiter=maxiter)
+    else:
+        raise ValueError(f"unknown 9pt method {method!r}")
+    return pairify(res)
+
+
+def _run_solver9(n, b, wave_num, const, alpha, problem, *, rtol, restart,
+                 maxiter, method, precond, g_dtype, fidelity, d2_replace,
+                 setup_chunk, factor_stride, gamma, cdtype,
+                 plot_solution) -> "SolveReport":
+    """run_solver for stencil='9pt': the 9-point discretization solved
+    end-to-end with ITS OWN moving-PML sweeping preconditioner
+    (precond.sweeping9 — tridiagonal inter-layer couplings through the
+    same Schur/sweep machinery).  Beyond-reference scope: the reference
+    is 5-point-only (SURVEY.md section 0)."""
+    wf = jnp.result_type(float)
+    t0 = time.perf_counter()
+    A9_pair, hm9_pair, f_pair = _assemble9_stage(
+        jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
+        jnp.asarray(alpha, wf), jnp.asarray(gamma, wf), n=n, b=b,
+        problem=problem, fidelity=fidelity, cdtype=cdtype)
+    use_precond = precond != "none"
+    if precond == "moving_pml":
+        P_pair = _factor9_stage(A9_pair, hm9_pair, b=b,
+                                d2_replace=d2_replace,
+                                setup_chunk=setup_chunk, g_dtype=g_dtype,
+                                factor_stride=factor_stride)
+    elif precond == "none":
+        P_pair = None
+    else:
+        raise ValueError(f"stencil='9pt' supports precond='moving_pml' or "
+                         f"'none', got {precond!r}")
+    _host_sync(P_pair if use_precond else A9_pair)
+    t1 = time.perf_counter()
+    res_pair = _solve9_stage(A9_pair, P_pair, f_pair,
+                             jnp.asarray(rtol, wf), restart=restart,
+                             maxiter=maxiter, use_precond=use_precond,
+                             method=method)
+    _host_sync(res_pair)
+    t2 = time.perf_counter()
+
+    from .core.complexlib import tree_to_np
+    u = res_pair.x.to_np().reshape(n, n)
+    f_np = f_pair.to_np().reshape(-1)
+    A_np = tree_to_np(A9_pair)
+    Au = _host_stencil9_matvec(A_np, u)
+    true_res = float(np.linalg.norm(Au.reshape(-1) - f_np)
+                     / np.linalg.norm(f_np))
+    history = np.asarray(res_pair.history)
+    history = history[~np.isnan(history)]
+    report = SolveReport(
+        u=u, iterations=int(res_pair.iterations),
+        converged=bool(res_pair.converged),
+        residual_norm=float(res_pair.residual_norm),
+        true_residual=true_res, history=history,
+        init_time=t1 - t0, solve_time=t2 - t1,
+        config=dict(n=n, b=b, wave_num=wave_num, const=const, alpha=alpha,
+                    problem=problem, rtol=rtol, restart=restart,
+                    method=method, precond=precond, fidelity=fidelity,
+                    stencil="9pt", stencil_gamma=gamma, g_dtype=g_dtype,
+                    factor_stride=factor_stride,
+                    dtype=str(np.dtype(cdtype))))
+    if plot_solution:
+        from . import viz
+        viz.plot_solution(report)
+    return report
+
+
 def run_solver(n: int, b: int, wave_num: float, const: float,
                alpha: float = 2.0, problem: str = "c1_f1", *,
                rtol: float = 1e-3, restart: int = 20,
                maxiter: Optional[int] = None,
                method: str = "gmres",
                precond: str = "moving_pml",
+               stencil: str = "5pt",
+               stencil_gamma: float = 2.0 / 3.0,
                precond_refine: int = 0,
                precision: str = "f32",
                inner_rtol: float = 1e-2,
@@ -355,6 +476,18 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
     cdtype = complex_dtype or default_complex_dtype()
     maxiter = maxiter if maxiter is not None else (200 if precond != "none"
                                                   else 20_000)
+    if stencil == "9pt":
+        if factor_stride is None:
+            factor_stride = auto_factor_stride(n, problem)
+        return _run_solver9(
+            n, b, wave_num, const, alpha, problem, rtol=rtol,
+            restart=restart, maxiter=maxiter, method=method,
+            precond=precond, g_dtype=g_dtype, fidelity=fidelity,
+            d2_replace=d2_replace, setup_chunk=setup_chunk,
+            factor_stride=factor_stride, gamma=stencil_gamma,
+            cdtype=cdtype, plot_solution=plot_solution)
+    if stencil != "5pt":
+        raise ValueError(f"unknown stencil {stencil!r}")
     if (method == "gmres" and precond == "recompute"
             and n >= _hostloop_min_n()
             and precision == "f32" and not precond_refine
@@ -995,4 +1128,15 @@ def _host_stencil_matvec(A_np, u):
     out[:, :-1] += ce[:, :-1] * u[:, 1:]
     out[1:, :] += cs[1:, :] * u[:-1, :]
     out[:-1, :] += cn[:-1, :] * u[1:, :]
+    return out
+
+
+def _host_stencil9_matvec(A_np, u):
+    """Numpy 9-point stencil apply (the 5-point cross + corner couplings)
+    for host-side residual verification of the 9pt path."""
+    out = _host_stencil_matvec(A_np, u)
+    out[1:, 1:] += A_np.csw[1:, 1:] * u[:-1, :-1]
+    out[1:, :-1] += A_np.cse[1:, :-1] * u[:-1, 1:]
+    out[:-1, 1:] += A_np.cnw[:-1, 1:] * u[1:, :-1]
+    out[:-1, :-1] += A_np.cne[:-1, :-1] * u[1:, 1:]
     return out

@@ -127,6 +127,16 @@ def build_a_stencil9(n, b, const, eta, omega, h, c_full, *,
       * gamma = 2/3, no PML (const = 0, s == 1) gives the classical
         compact 9-point Laplacian [1 4 1; 4 -20 4; 1 4 1] / (6 h^2) plus
         the mass term (tested).
+
+    PML TAPER: the diagonal branch has no consistent 1-D stretching
+    factorization (the rotated directions mix s1 and s2), so inside the
+    absorbing layers the blend is smoothly tapered to the pure 5-point
+    scheme: gamma_eff = 1 - (1-gamma) q1 q2 with q = 1/(1 + (sigma/|w|)^2)
+    — q == 1 (full 9-point) wherever sigma == 0, q -> 0 (consistent
+    5-point PML) deep in the layer.  Without the taper the heuristic
+    corner stretching reflects at the PML interface and preconditioned
+    iteration counts grow with omega (measured: 8 -> 14 -> 200+ at
+    n = 127/255/511 untapered).
     """
     cd = complex_dtype
     i = jnp.arange(1, n + 1)
@@ -140,22 +150,33 @@ def build_a_stencil9(n, b, const, eta, omega, h, c_full, *,
     s2_p = pml.s2((j + 0.5) * h, const, eta, omega, cd)
     s2_c = pml.s2(j * h, const, eta, omega, cd)
 
-    cw = gamma * inv_h2 * (s1_m / s2_c)
-    ce = gamma * inv_h2 * (s1_p / s2_c)
-    cs = gamma * inv_h2 * (s2_m / s1_c)
-    cn = gamma * inv_h2 * (s2_p / s1_c)
+    aw = jnp.abs(jnp.asarray(omega, cd))
+    q = lambda sig: 1.0 / (1.0 + (sig / aw) ** 2)
+    q1_m = q(pml.sigma1((i - 0.5) * h, const, eta))
+    q1_p = q(pml.sigma1((i + 0.5) * h, const, eta))
+    q2_m = q(pml.sigma2((j - 0.5) * h, const, eta))
+    q2_p = q(pml.sigma2((j + 0.5) * h, const, eta))
+    q1_c = q(pml.sigma1(i * h, const, eta))
+    q2_c = q(pml.sigma2(j * h, const, eta))
+    geff = lambda qx, qy: (1.0 - (1.0 - gamma) * qx * qy).astype(cd)
+
+    cw = geff(q1_m, q2_c) * inv_h2 * (s1_m / s2_c)
+    ce = geff(q1_p, q2_c) * inv_h2 * (s1_p / s2_c)
+    cs = geff(q1_c, q2_m) * inv_h2 * (s2_m / s1_c)
+    cn = geff(q1_c, q2_p) * inv_h2 * (s2_p / s1_c)
 
     # diagonal couplings at the four corner midpoints ((i +- .5)h, (j +- .5)h):
-    # symmetrized stretching ratio (s1/s2 + s2/s1)/2 -> 1 when s == 1
-    half = 0.5 * (1.0 - gamma) * inv_h2
-
-    def corner(s1_h, s2_h):
+    # symmetrized stretching ratio (s1/s2 + s2/s1)/2 -> 1 when s == 1;
+    # weight (1 - gamma_eff)/2 at the corner midpoint (tapers to zero in
+    # the PML — see docstring)
+    def corner(s1_h, s2_h, qx, qy):
+        half = 0.5 * (1.0 - geff(qx, qy)) * inv_h2
         return half * 0.5 * (s1_h / s2_h + s2_h / s1_h)
 
-    csw = corner(s1_m, s2_m) * jnp.ones((n, 1), cd)
-    cse = corner(s1_p, s2_m) * jnp.ones((n, 1), cd)
-    cnw = corner(s1_m, s2_p) * jnp.ones((n, 1), cd)
-    cne = corner(s1_p, s2_p) * jnp.ones((n, 1), cd)
+    csw = corner(s1_m, s2_m, q1_m, q2_m) * jnp.ones((n, 1), cd)
+    cse = corner(s1_p, s2_m, q1_p, q2_m) * jnp.ones((n, 1), cd)
+    cnw = corner(s1_m, s2_p, q1_m, q2_p) * jnp.ones((n, 1), cd)
+    cne = corner(s1_p, s2_p, q1_p, q2_p) * jnp.ones((n, 1), cd)
     csw, cse, cnw, cne = (jnp.broadcast_to(x, (n, n))
                           for x in (csw, cse, cnw, cne))
 
@@ -175,6 +196,96 @@ def build_a_stencil9(n, b, const, eta, omega, h, c_full, *,
     cne = cne.at[-1, :].set(0).at[:, -1].set(0)
     return Stencil9(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn,
                     csw=csw, cse=cse, cnw=cnw, cne=cne)
+
+
+def build_hm_stencils9(n, b, const, eta, omega, h, c_full, *,
+                       gamma=2.0 / 3.0,
+                       fidelity="corrected",
+                       complex_dtype=jnp.complex128) -> Stencil9:
+    """Moving-PML subgrid family for the 9-POINT scheme: batched Stencil9
+    with fields (M, b, n), M = n-b — the H_m of `build_a_stencil9`'s
+    discretization with the x2 stretching moved to sit just below layer m
+    (same structure as `build_hm_stencils`; the s2 factors depend only on
+    the local layer l, the velocity samples on the global row).
+
+    The subgrid boundary is Dirichlet on all sides: axis couplings masked
+    at the subgrid edges, corner couplings masked on both their edges."""
+    cd = complex_dtype
+    M = n - b
+    rows = jnp.arange(b, n)
+    i = jnp.arange(1, n + 1)
+    l = jnp.arange(1, b + 1)[:, None]              # local layer, 1-based
+    m = (rows + 1)[:, None, None]                  # subgrid top, 1-based
+    inv_h2 = 1.0 / (h * h)
+
+    s1_m = pml.s1((i - 0.5) * h, const, eta, omega, cd)
+    s1_p = pml.s1((i + 0.5) * h, const, eta, omega, cd)
+    s1_c = pml.s1(i * h, const, eta, omega, cd)
+    s2_m = pml.s2((l - 0.5) * h, const, eta, omega, cd)   # (b, 1)
+    s2_p = pml.s2((l + 0.5) * h, const, eta, omega, cd)
+    s2_c = pml.s2(l * h, const, eta, omega, cd)
+
+    # PML taper of the diagonal branch (build_a_stencil9 docstring),
+    # with the MOVED x2 profile: q2 depends on the local layer l
+    aw = jnp.abs(jnp.asarray(omega, cd))
+    q = lambda sig: 1.0 / (1.0 + (sig / aw) ** 2)
+    q1_m = q(pml.sigma1((i - 0.5) * h, const, eta))
+    q1_p = q(pml.sigma1((i + 0.5) * h, const, eta))
+    q1_c = q(pml.sigma1(i * h, const, eta))
+    q2_m = q(pml.sigma2((l - 0.5) * h, const, eta))
+    q2_p = q(pml.sigma2((l + 0.5) * h, const, eta))
+    q2_c = q(pml.sigma2(l * h, const, eta))
+    geff = lambda qx, qy: (1.0 - (1.0 - gamma) * qx * qy).astype(cd)
+
+    cw = jnp.broadcast_to(geff(q1_m, q2_c) * inv_h2 * (s1_m / s2_c),
+                          (M, b, n))
+    ce = jnp.broadcast_to(geff(q1_p, q2_c) * inv_h2 * (s1_p / s2_c),
+                          (M, b, n))
+    cs = jnp.broadcast_to(geff(q1_c, q2_m) * inv_h2 * (s2_m / s1_c),
+                          (M, b, n))
+    cn = jnp.broadcast_to(geff(q1_c, q2_p) * inv_h2 * (s2_p / s1_c),
+                          (M, b, n))
+
+    def corner(s1_h, s2_h, qx, qy):
+        half = 0.5 * (1.0 - geff(qx, qy)) * inv_h2
+        return half * 0.5 * (s1_h / s2_h + s2_h / s1_h)
+
+    csw = jnp.broadcast_to(corner(s1_m, s2_m, q1_m, q2_m), (M, b, n))
+    cse = jnp.broadcast_to(corner(s1_p, s2_m, q1_p, q2_m), (M, b, n))
+    cnw = jnp.broadcast_to(corner(s1_m, s2_p, q1_m, q2_p), (M, b, n))
+    cne = jnp.broadcast_to(corner(s1_p, s2_p, q1_p, q2_p), (M, b, n))
+
+    j_global = m - b + l                           # (M, b, 1), 1-based
+    omega_c = jnp.asarray(omega, cd)
+    cvel = _sample_velocity(jnp.asarray(c_full), i[None, None, :],
+                            j_global, fidelity)
+    cc = omega_c**2 / (s1_c[None, None, :] * s2_c[None]
+                       * cvel.astype(cd) ** 2) \
+        - (cw + ce + cs + cn + csw + cse + cnw + cne)
+
+    cw = cw.at[:, :, 0].set(0)
+    ce = ce.at[:, :, -1].set(0)
+    cs = cs.at[:, 0, :].set(0)
+    cn = cn.at[:, -1, :].set(0)
+    csw = csw.at[:, 0, :].set(0).at[:, :, 0].set(0)
+    cse = cse.at[:, 0, :].set(0).at[:, :, -1].set(0)
+    cnw = cnw.at[:, -1, :].set(0).at[:, :, 0].set(0)
+    cne = cne.at[:, -1, :].set(0).at[:, :, -1].set(0)
+    return Stencil9(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn,
+                    csw=csw, cse=cse, cnw=cnw, cne=cne)
+
+
+def extract_hf_stencil9(A: Stencil9, b: int) -> Stencil9:
+    """H_F for the 9-point scheme: the true leading bn x bn principal
+    submatrix of A9 — layer slice with every coupling out of the top layer
+    dropped (the corrected full-coupling semantics; the as-shipped D3
+    block-diagonal variant is a 5-point-era quirk not reproduced here)."""
+    sl = slice(0, b)
+    top_zero = lambda f: f[sl].at[b - 1, :].set(0)
+    return Stencil9(cc=A.cc[sl], cw=A.cw[sl], ce=A.ce[sl],
+                    cs=A.cs[sl], cn=top_zero(A.cn),
+                    csw=A.csw[sl], cse=A.cse[sl],
+                    cnw=top_zero(A.cnw), cne=top_zero(A.cne))
 
 
 def build_hm_stencils_rows(rows, n, b, const, eta, omega, h, c_full, *,

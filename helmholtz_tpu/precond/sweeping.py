@@ -240,11 +240,12 @@ def _schur_corner_inverse_fraction(H: Stencil5, block_layers: int = 4):
     return jnp.matmul(V, batched_inverse(W, precision=hi), precision=hi)
 
 
-def factor_corner_inverses(hm: Stencil5, *, n_pad: int, g_dtype,
+def factor_corner_inverses(hm, *, n_pad: int, g_dtype,
                            setup_chunk: int = 128,
                            zero_mask: jax.Array | None = None,
                            schur_block: int | None = None,
-                           stride: int = 1) -> CArray:
+                           stride: int = 1,
+                           corner_fn=None) -> CArray:
     """Factor a batched subgrid family (Stencil5 fields (M, b, n)) into its
     corner-inverse stack G: a split-real CArray (M, n_pad, n_pad), zero
     lane-padded, stored as `g_dtype`.
@@ -289,12 +290,18 @@ def factor_corner_inverses(hm: Stencil5, *, n_pad: int, g_dtype,
     M, _, n = hm.cc.shape
     if schur_block is None:
         schur_block = 1
-    corner = partial(_schur_corner_inverse_fraction, block_layers=schur_block)
+    # corner_fn: the batched family -> (batch, n, n) corner-inverse map.
+    # Default = the 5-point layer-Schur recursion; the 9-point path passes
+    # sweeping9's tridiagonal-coupling recursion — the chunk/stride/mask
+    # machinery here is footprint-agnostic (it only tree-maps the family).
+    corner = corner_fn or partial(_schur_corner_inverse_fraction,
+                                  block_layers=schur_block)
 
     if stride > 1 and zero_mask is None and M > stride:
         return _factor_strided(hm, n_pad=n_pad, g_dtype=g_dtype,
                                setup_chunk=setup_chunk,
-                               schur_block=schur_block, stride=stride)
+                               schur_block=schur_block, stride=stride,
+                               corner_fn=corner_fn)
     # bound peak setup memory: a few (chunk, n, n) complex buffers live
     # inside the batched inverse, so scale the chunk down with the grid.
     setup_chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
@@ -342,9 +349,9 @@ def factor_corner_inverses(hm: Stencil5, *, n_pad: int, g_dtype,
     return CArray(G_re, G_im)
 
 
-def _factor_strided(hm: Stencil5, *, n_pad: int, g_dtype,
+def _factor_strided(hm, *, n_pad: int, g_dtype,
                     setup_chunk: int, schur_block: int,
-                    stride: int) -> CArray:
+                    stride: int, corner_fn=None) -> CArray:
     """Strided factorization: factor every stride-th subgrid exactly, lerp
     the corner inverses in between (see factor_corner_inverses docstring).
     """
@@ -360,7 +367,8 @@ def _factor_strided(hm: Stencil5, *, n_pad: int, g_dtype,
     # zero, so interpolation happens in padded space)
     Ts = factor_corner_inverses(hm_s, n_pad=n_pad, g_dtype=wf,
                                 setup_chunk=setup_chunk,
-                                schur_block=schur_block)
+                                schur_block=schur_block,
+                                corner_fn=corner_fn)
 
     wchunk = max(4, min(setup_chunk, int(9.0e7) // (n_pad * n_pad)))
     wchunk = min(wchunk, M)

@@ -1,0 +1,327 @@
+"""Moving-PML sweeping preconditioner for the 9-POINT discretization.
+
+The 5-point module (`precond.sweeping`) exploits that A's inter-layer
+coupling blocks are DIAGONAL, so the layer-Schur update is a row/column
+scaling.  The 9-point scheme (`fd.stencil.build_a_stencil9`) adds the four
+corner couplings, which makes the inter-layer blocks TRIDIAGONAL:
+
+    A9 layer block row j:  [ L_j | D_j | U_j ]
+    D_j = tridiag(cw, cc, ce)_j          (within-layer)
+    L_j = tridiag(csw, cs, cse)_j        (to layer j-1)
+    U_j = tridiag(cnw, cn, cne)_j        (to layer j+1)
+
+Everything in the Engquist-Ying construction survives with tridiagonal
+couplings at the SAME cost structure: the Schur update
+S_l = D_l - L_l T_{l-1} U_{l-1} is two O(n^2) shifted-row/column passes
+around the dense T (no extra O(n^3)), the sweep's coupling applications
+are O(n) tridiagonal matvecs, and the corner inverse G_m is still one
+dense (n, n) block per subgrid — so the batched MXU factorization, the
+chunk/stride machinery, and the G storage formats of the 5-point path are
+reused verbatim (`factor_corner_inverses(corner_fn=...)`).
+
+The apply runs as the XLA scan formulation (the Pallas sweep kernel's
+per-step coupling contraction is diagonal-only; the apply is G-traffic
+bound, so the kernel is a later optimization, not a correctness gap).
+
+PML-WIDTH GUIDANCE (measured on TPU, c1-f1 at the reference's
+points-per-wavelength): the 9-point subgrid needs a WIDER moved PML than
+the 5-point scheme's b = 12 — the tapered diagonal branch leaves only
+the 5-point part absorbing, so the layer must be deeper.  b ~ n/14 with
+C ~ 60 keeps iteration counts flat: 4 @ n=255/b=24 and 4 @ n=511/b=36
+(vs 15 and no-convergence-in-100 at b=12).  Apply cost is b-independent
+(G is (M, n, n) regardless); only the setup's layer recursion scales
+with b.
+
+Reference anchor: the reference is 5-point-only (code.py:70-115 and the
+PDF's "The paper provides the 5-point stencil"); this module is the
+framework exceeding the reference's discretization order, with the same
+preconditioner mathematics.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.complexlib import CArray
+from ..core.sparse import Stencil9
+from ..fd import stencil as fd_stencil
+from ..ops.dense import batched_inverse
+from .sweeping import _dense_tridiag, _g_dot, factor_corner_inverses
+
+
+def _tridiag_matvec(sub, diag, sup, v):
+    """y = tridiag(sub, diag, sup) @ v for per-row coupling triples (n,):
+    y_i = sub_i v_{i-1} + diag_i v_i + sup_i v_{i+1} (sub[0]/sup[-1] are
+    masked zero by assembly)."""
+    y = diag * v
+    y = y.at[1:].add(sub[1:] * v[:-1])
+    y = y.at[:-1].add(sup[:-1] * v[1:])
+    return y
+
+
+def _tridiag_rmatmul(X, sub, diag, sup):
+    """Y = X @ tridiag(sub, diag, sup) — columns of Y combine adjacent
+    columns of X: Y[..., j] = X[..., j-1] sup_{j-1} + X[..., j] diag_j
+    + X[..., j+1] sub_{j+1}.  O(n^2) shifted adds, no materialized
+    tridiagonal, mirror of sweeping._tridiag_matmul (left-multiply)."""
+    Y = X * diag[..., None, :]
+    Y = Y.at[..., :, 1:].add(X[..., :, :-1] * sup[..., None, :-1])
+    Y = Y.at[..., :, :-1].add(X[..., :, 1:] * sub[..., None, 1:])
+    return Y
+
+
+def _tridiag_lmatmul(sub, diag, sup, X):
+    """Y = tridiag(sub, diag, sup) @ X — rows combine (sweeping's
+    _tridiag_matmul with the coupling-triple argument order)."""
+    Y = diag[..., :, None] * X
+    Y = Y.at[..., 1:, :].add(sub[..., 1:, None] * X[..., :-1, :])
+    Y = Y.at[..., :-1, :].add(sup[..., :-1, None] * X[..., 1:, :])
+    return Y
+
+
+def _layer(H: Stencil9, l):
+    pick = lambda f: f[..., l, :]
+    return {k: pick(getattr(H, k)) for k in
+            ("cw", "cc", "ce", "cs", "cn", "csw", "cse", "cnw", "cne")}
+
+
+def _schur_corner_inverse9(H: Stencil9):
+    """T_{L-1} = S_{L-1}^{-1} for a batched 9-point subgrid family (fields
+    (..., L, n)): the layer-Schur recursion with TRIDIAGONAL couplings
+    S_l = D_l - L_l T_{l-1} U_{l-1}; one dense (batch, n, n) carry."""
+    T0 = batched_inverse(
+        _dense_tridiag(H.cw[..., 0, :], H.cc[..., 0, :], H.ce[..., 0, :]))
+
+    def step(T_prev, inputs):
+        (cw_l, cc_l, ce_l, csw_l, cs_l, cse_l,
+         cnw_p, cn_p, cne_p) = inputs
+        W = _tridiag_lmatmul(csw_l, cs_l, cse_l, T_prev)   # L_l @ T
+        W = _tridiag_rmatmul(W, cnw_p, cn_p, cne_p)        # .. @ U_{l-1}
+        S = _dense_tridiag(cw_l, cc_l, ce_l) - W
+        return batched_inverse(S), None
+
+    mv = lambda f, sl: jnp.moveaxis(f[..., sl, :], -2, 0)
+    xs = (mv(H.cw, slice(1, None)), mv(H.cc, slice(1, None)),
+          mv(H.ce, slice(1, None)),
+          mv(H.csw, slice(1, None)), mv(H.cs, slice(1, None)),
+          mv(H.cse, slice(1, None)),
+          mv(H.cnw, slice(None, -1)), mv(H.cn, slice(None, -1)),
+          mv(H.cne, slice(None, -1)))
+    T_last, _ = jax.lax.scan(step, T0, xs)
+    return T_last
+
+
+def _schur_t_stack9(H: Stencil9):
+    """All layer Schur-complement inverses T_l (the H_F block-Thomas stack
+    for the 9-point scheme): (..., L, n, n)."""
+    T0 = batched_inverse(
+        _dense_tridiag(H.cw[..., 0, :], H.cc[..., 0, :], H.ce[..., 0, :]))
+
+    def step(T_prev, inputs):
+        (cw_l, cc_l, ce_l, csw_l, cs_l, cse_l,
+         cnw_p, cn_p, cne_p) = inputs
+        W = _tridiag_lmatmul(csw_l, cs_l, cse_l, T_prev)
+        W = _tridiag_rmatmul(W, cnw_p, cn_p, cne_p)
+        T = batched_inverse(_dense_tridiag(cw_l, cc_l, ce_l) - W)
+        return T, T
+
+    mv = lambda f, sl: jnp.moveaxis(f[..., sl, :], -2, 0)
+    xs = (mv(H.cw, slice(1, None)), mv(H.cc, slice(1, None)),
+          mv(H.ce, slice(1, None)),
+          mv(H.csw, slice(1, None)), mv(H.cs, slice(1, None)),
+          mv(H.cse, slice(1, None)),
+          mv(H.cnw, slice(None, -1)), mv(H.cn, slice(None, -1)),
+          mv(H.cne, slice(None, -1)))
+    _, T_rest = jax.lax.scan(step, T0, xs)
+    T_rest = jnp.moveaxis(T_rest, 0, -3)
+    return jnp.concatenate([T0[..., None, :, :], T_rest], axis=-3)
+
+
+def _block_thomas_solve9(T, L9, U9, rhs):
+    """Solve the 9-point block-tridiagonal system given its Schur-inverse
+    stack T (L, n, n) and per-layer coupling triples L9/U9 = (sub, diag,
+    sup) each (L, n); rhs (L, n).  Same scheme as the 5-point
+    `_block_thomas_solve` with tridiagonal matvecs in place of the
+    diagonal scalings."""
+    hi = jax.lax.Precision.HIGHEST
+    Lsub, Ldia, Lsup = L9
+    Usub, Udia, Usup = U9
+
+    def fwd(y_prev, inputs):
+        T_prev, lsub, ldia, lsup, r_l = inputs
+        y = r_l - _tridiag_matvec(lsub, ldia, lsup,
+                                  jnp.matmul(T_prev, y_prev, precision=hi))
+        return y, y
+
+    _, y_rest = jax.lax.scan(
+        fwd, rhs[0], (T[:-1], Lsub[1:], Ldia[1:], Lsup[1:], rhs[1:]))
+    y = jnp.concatenate([rhs[:1], y_rest], axis=0)
+
+    u_last = jnp.matmul(T[-1], y[-1], precision=hi)
+
+    def bwd(u_next, inputs):
+        T_l, usub, udia, usup, y_l = inputs
+        u = jnp.matmul(
+            T_l, y_l - _tridiag_matvec(usub, udia, usup, u_next),
+            precision=hi)
+        return u, u
+
+    _, u_rest = jax.lax.scan(
+        bwd, u_last, (T[:-1], Usub[:-1], Udia[:-1], Usup[:-1], y[:-1]),
+        reverse=True)
+    return jnp.concatenate([u_rest, u_last[None]], axis=0)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["G", "TF", "hf_l", "hf_u", "a_l", "a_u"],
+    meta_fields=["b", "d2_replace"],
+)
+@dataclasses.dataclass(frozen=True)
+class SweepingPreconditioner9:
+    """Factored 9-point moving-PML sweeping state (split-real storage).
+
+    G    : (M, n_pad, n_pad) corner inverses, exactly like the 5-point
+           state (same storage, same lane padding).
+    TF   : (b, n, n) block-Thomas stack for H_F9.
+    hf_l / hf_u : H_F lower/upper coupling triples, stacked (b, 3, n) as
+           [sub, diag, sup].
+    a_l / a_u   : the global operator's coupling triples, (L, 3, n).
+    """
+
+    G: CArray
+    TF: CArray
+    hf_l: CArray
+    hf_u: CArray
+    a_l: CArray
+    a_u: CArray
+    b: int
+    d2_replace: bool
+
+    @property
+    def grid_shape(self):
+        return (self.a_l.shape[0], self.a_l.shape[-1])
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        L, n = self.grid_shape
+        return apply_preconditioner9(self, x.reshape(L, n)).reshape(-1)
+
+
+def _coupling_triples(A: Stencil9):
+    """(L, 3, n) stacked [sub, diag, sup] lower/upper coupling triples of
+    the batched Stencil9 (lower = (csw, cs, cse), upper = (cnw, cn, cne))."""
+    lo = jnp.stack([A.csw, A.cs, A.cse], axis=-2)
+    up = jnp.stack([A.cnw, A.cn, A.cne], axis=-2)
+    return lo, up
+
+
+def setup_preconditioner9(A: Stencil9, hm: Stencil9, b: int, *,
+                          d2_replace: bool = True,
+                          setup_chunk: int = 128,
+                          pad_lanes: bool | None = None,
+                          g_dtype=None,
+                          factor_stride: int = 1
+                          ) -> SweepingPreconditioner9:
+    """Factor the 9-point moving-PML preconditioner: H_F9 block-Thomas +
+    the batched corner inverses of the 9-point subgrid family — the
+    5-point `setup_preconditioner` with the tridiagonal-coupling Schur
+    recursion plugged into the shared chunk/stride machinery."""
+    M, _, n = hm.cc.shape
+    if pad_lanes is None:
+        pad_lanes = jax.default_backend() == "tpu"
+    n_pad = (-(-n // 128) * 128) if pad_lanes else n
+    g_dtype = g_dtype or hm.cc.real.dtype
+    G = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=g_dtype,
+                               setup_chunk=setup_chunk,
+                               stride=factor_stride,
+                               corner_fn=_schur_corner_inverse9)
+    HF = fd_stencil.extract_hf_stencil9(A, b)
+    TF = _schur_t_stack9(HF)
+    hf_lo, hf_up = _coupling_triples(HF)
+    a_lo, a_up = _coupling_triples(A)
+
+    as_pair = lambda z: z if isinstance(z, CArray) else CArray.of(z)
+    return SweepingPreconditioner9(
+        G=as_pair(G), TF=as_pair(TF),
+        hf_l=CArray.of(hf_lo), hf_u=CArray.of(hf_up),
+        a_l=CArray.of(a_lo), a_u=CArray.of(a_up),
+        b=b, d2_replace=d2_replace)
+
+
+def apply_preconditioner9(P: SweepingPreconditioner9,
+                          f: jax.Array) -> jax.Array:
+    """One 9-point sweep solve u ~= A9^{-1} f — Algorithm 2.4 with
+    tridiagonal coupling applications; same fused two-pass structure (and
+    the same corrected/as-shipped D2 switch) as the 5-point
+    `apply_preconditioner`'s XLA formulation."""
+    b = P.b
+    L, n = P.grid_shape
+    TF = P.TF.cplx
+    hf_l, hf_u = P.hf_l.cplx, P.hf_u.cplx
+    a_l, a_u = P.a_l.cplx, P.a_u.cplx
+    Gre, Gim = P.G.re, P.G.im
+    n_pad = Gre.shape[-1]
+    M_total = L - b
+    u = f
+
+    trip = lambda t: (t[..., 0, :], t[..., 1, :], t[..., 2, :])
+
+    def g_matvec(gre, gim, v):
+        V = jnp.stack([jnp.real(v), jnp.imag(v)], axis=-1)
+        if n_pad > n:
+            V = jnp.pad(V, ((0, n_pad - n), (0, 0)))
+        RV = _g_dot(gre, V)
+        IV = _g_dot(gim, V)
+        return jax.lax.complex(RV[:n, 0] - IV[:n, 1], RV[:n, 1] + IV[:n, 0])
+
+    thomas = lambda r: _block_thomas_solve9(TF, trip(hf_l), trip(hf_u), r)
+
+    # H_F solve + first correction: u_b -= L_b @ (T_F u_F)[b-1]
+    TFuF = thomas(u[:b])
+    u = u.at[b].add(-_tridiag_matvec(*trip(a_l[b]), TFuF[b - 1]))
+
+    # top-row upper coupling zeroed (no layer above)
+    a_u_top0 = jnp.concatenate([a_u[b:-1], jnp.zeros_like(a_u[-1:])], axis=0)
+
+    ks = jnp.arange(M_total - 1)
+
+    def g_row(k):
+        return (jax.lax.dynamic_index_in_dim(Gre, k, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(Gim, k, 0, keepdims=False))
+
+    # forward sweep j = b+1..L-1: u_j -= L_j @ (G_{j-1} u_{j-1})
+    def fwd(prev, inputs):
+        l_j, u_j, k = inputs
+        gre, gim = g_row(k)
+        new = u_j - _tridiag_matvec(*trip(l_j), g_matvec(gre, gim, prev))
+        return new, new
+
+    _, u_fwd = jax.lax.scan(fwd, u[b], (a_l[b + 1:], u[b + 1:], ks))
+    u = jnp.concatenate([u[:b + 1], u_fwd], axis=0)
+
+    # fused diagonal + backward sweep (reverse scan):
+    #   corrected:  u_j = G_j (u_j - U_j u_{j+1})
+    #   as-shipped: u_j = u_j - G_j (u_j + U_j u_{j+1})
+    def bwd(nxt, inputs):
+        u_j, uj_trip, k = inputs
+        gre, gim = g_row(k)
+        coup = _tridiag_matvec(*trip(uj_trip), nxt)
+        if P.d2_replace:
+            new = g_matvec(gre, gim, u_j - coup)
+        else:
+            new = u_j - g_matvec(gre, gim, u_j + coup)
+        return new, new
+
+    ks_all = jnp.arange(M_total)
+    _, u_bwd = jax.lax.scan(
+        bwd, jnp.zeros_like(u[-1]), (u[b:], a_u_top0, ks_all), reverse=True)
+    u = jnp.concatenate([u[:b], u_bwd], axis=0)
+
+    # F-block closure: u_F = T_F u_F - T_F (U_{b-1}^T-coupling of u_b)
+    rhs = jnp.zeros_like(TFuF).at[b - 1].set(
+        _tridiag_matvec(*trip(a_u[b - 1]), u[b]))
+    uF = TFuF - thomas(rhs)
+    return jnp.concatenate([uF, u[b:]], axis=0)
