@@ -90,13 +90,13 @@ def plan_distributed(n: int, b: int = 12, devices: int = 8,
     g_item = {"f32": 4, "working": 4, "bf16": 2}[g_dtype]
 
     if R > 1:
-        Ms = (M - 1) // R + 2
+        from ..precond.sweeping import band_sample_window
+
         widths = []
         for d in range(devices):
-            k_first = max(d * n_loc, b) - b
-            k_last = (d + 1) * n_loc - 1 - b
-            widths.append(min(k_last // R, Ms - 2) + 1
-                          - min(k_first // R, Ms - 2) + 1)
+            s0, s1 = band_sample_window(M, R, max(d * n_loc, b) - b,
+                                        (d + 1) * n_loc - 1 - b)
+            widths.append(s1 - s0 + 1)
         ms_loc = max(widths)
     else:
         ms_loc = n_loc

@@ -237,17 +237,24 @@ def cmd_multisolve(args):
     if args.freq_anchor_every > 1:
         # anchors span the whole list — one call; per-frequency resume
         # does not compose with spans (an intermediate needs both its
-        # anchors factored), so the amortized sweep re-runs as a unit
-        todo = [(wn, C) for wn, C in zip(args.freqs, consts)
-                if SweepCheckpoint.key_of(
-                    {**template, "wave_num": float(wn),
-                     "const": float(C)}) not in done]
-        if todo:
+        # anchors factored, and dropping completed frequencies would
+        # re-choose anchors over the leftover subset — a different
+        # amortization geometry than the records claim).  So the
+        # amortized sweep RE-RUNS AS A UNIT whenever anything is
+        # missing, and only the missing records are emitted/appended.
+        missing = [wn for wn, C in zip(args.freqs, consts)
+                   if SweepCheckpoint.key_of(
+                       {**template, "wave_num": float(wn),
+                        "const": float(C)}) not in done]
+        if missing:
             recs = run_multisolve(
-                args.n, args.b, [w for w, _ in todo],
-                consts=[c for _, c in todo],
+                args.n, args.b, list(args.freqs), consts=consts,
                 freq_anchor_every=args.freq_anchor_every, **kw)
             for rec in recs:
+                if SweepCheckpoint.key_of(
+                        {**template, "wave_num": rec["wave_num"],
+                         "const": rec["const"]}) in done:
+                    continue
                 ok &= emit(rec)
         return 0 if ok else 1
 

@@ -109,7 +109,14 @@ def distributed_setup(mesh: Mesh, n: int, b: int, wave_num, const,
         jnp.result_type(complex_dtype, jnp.float32)).dtype
     M = n - b
     R = int(factor_stride)
-    if R <= 1 or M <= R:
+    if R > 1 and M <= R:
+        if g_compress:
+            raise ValueError(
+                f"grid too small for the requested stride: M = n - b = {M} "
+                f"sweep rows cannot be sampled at factor_stride = {R} "
+                "(need M > stride); drop g_compress or reduce the stride")
+        R = 1                      # quietly exact — nothing to interpolate
+    if R <= 1:
         R = 1
     if g_compress and R == 1:
         raise ValueError("g_compress requires factor_stride > 1")
@@ -130,14 +137,15 @@ def distributed_setup(mesh: Mesh, n: int, b: int, wave_num, const,
         # static sample-window geometry (python ints): device d needs the
         # contiguous run of global samples bracketing its rows — windows
         # overlap by at most one sample; Ms_loc is the widest window
+        # (band_sample_window is the shared geometry source, also used by
+        # dist.partition and bench.plan)
+        from ..precond.sweeping import band_sample_window
+
         Ms = (M - 1) // R + 2
-        s0_list, s1_list = [], []
-        for d_ in range(ndev):
-            k_first = max(d_ * n_loc, b) - b
-            k_last = (d_ + 1) * n_loc - 1 - b
-            s0_list.append(min(k_first // R, Ms - 2))
-            s1_list.append(min(k_last // R, Ms - 2) + 1)
-        Ms_loc = max(s1 - s0 + 1 for s0, s1 in zip(s0_list, s1_list))
+        windows = [band_sample_window(M, R, max(d_ * n_loc, b) - b,
+                                      (d_ + 1) * n_loc - 1 - b)
+                   for d_ in range(ndev)]
+        Ms_loc = max(s1 - s0 + 1 for s0, s1 in windows)
 
     def local_setup(wn, C, al):
         d = jax.lax.axis_index(axis_name)

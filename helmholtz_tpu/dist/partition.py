@@ -96,6 +96,8 @@ def dist_state_from_preconditioner(P_: SweepingPreconditioner,
             raise ValueError("compressed G re-layout needs n_devices")
         import numpy as np
 
+        from ..precond.sweeping import band_sample_window
+
         L = P_.a_cs.shape[0]
         if L % n_devices:
             raise ValueError(f"{L} rows not divisible by {n_devices}")
@@ -106,10 +108,15 @@ def dist_state_from_preconditioner(P_: SweepingPreconditioner,
         j = np.arange(L)
         k = np.clip(j - b, 0, L - b - 1)
         lo_g = np.where(j >= b, glo[k], 0)
-        s0 = np.array([lo_g[d * n_loc + (b if d == 0 else 0)]
-                       for d in range(n_devices)])
-        s1 = np.array([lo_g[(d + 1) * n_loc - 1] + 1
-                       for d in range(n_devices)])
+        # shared band geometry (band_sample_window == the compress_tables
+        # lo layout this converter re-lays out; dist.factor/bench.plan use
+        # the same helper)
+        windows = [band_sample_window(L - b, P_.g_stride,
+                                      max(d * n_loc, b) - b,
+                                      (d + 1) * n_loc - 1 - b)
+                   for d in range(n_devices)]
+        s0 = np.array([w[0] for w in windows])
+        s1 = np.array([w[1] for w in windows])
         ms_loc = int((s1 - s0 + 1).max())
         sidx = np.minimum(s0[:, None] + np.arange(ms_loc)[None, :], Ms - 1)
         G_re = jnp.asarray(np.asarray(P_.G.re)[sidx].reshape(

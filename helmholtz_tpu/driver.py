@@ -477,6 +477,21 @@ def run_solver(n: int, b: int, wave_num: float, const: float,
     maxiter = maxiter if maxiter is not None else (200 if precond != "none"
                                                   else 20_000)
     if stencil == "9pt":
+        # reject options the 9pt path does not implement rather than
+        # silently dropping them (code-review round 4): the ir-df32
+        # compensated residual, preconditioner refinement, compressed G,
+        # and the shared-G collapse are 5-point-path features today
+        unsupported = {
+            "precision": (precision, "f32"),
+            "precond_refine": (precond_refine, 0),
+            "g_compress": (g_compress, False),
+            "dedup_hm": (dedup_hm, None),
+            "schur_block": (schur_block, None),
+        }
+        bad = [k for k, (v, default) in unsupported.items() if v != default]
+        if bad:
+            raise ValueError(f"stencil='9pt' does not support {bad} yet "
+                             "(5-point-path features)")
         if factor_stride is None:
             factor_stride = auto_factor_stride(n, problem)
         return _run_solver9(
@@ -639,18 +654,13 @@ def _precond_from_samples_stage(A_pair, Ga_pair, Gb_pair, tau, *, b,
     factor_stride — G is as smooth in omega as it is in m), and only H_F
     is actually factored.  Setup cost: one streaming pass over the two
     anchor stacks instead of ~M/stride dense corner factorizations."""
+    from .core.complexlib import CArray
     from .precond.sweeping import preconditioner_from_samples
 
     A = complexify(A_pair)
-    gdt = Ga_pair.re.dtype
-    t = tau.astype(jnp.float32)
-
-    def lerp(a, b_):
-        return ((1.0 - t) * a.astype(jnp.float32)
-                + t * b_.astype(jnp.float32)).astype(gdt)
-
-    from .core.complexlib import CArray
-    G = CArray(lerp(Ga_pair.re, Gb_pair.re), lerp(Ga_pair.im, Gb_pair.im))
+    gre, gim = _omega_lerp_pair(Ga_pair.re, Ga_pair.im,
+                                Gb_pair.re, Gb_pair.im, tau)
+    G = CArray(gre, gim)
     P = preconditioner_from_samples(A, b, G, g_stride=g_stride,
                                     hf_full_coupling=hf_full_coupling,
                                     d2_replace=d2_replace)

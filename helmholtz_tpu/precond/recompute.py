@@ -176,8 +176,14 @@ def _chunk_g(R: RecomputeSweepingPreconditioner, k0, chunk, cdtype):
     M = n - b
     # the sample family covering rows k0..k0+chunk-1: the multiples of
     # stride from floor(k0/stride)*stride upward, clamped to the global
-    # endpoint M-1 (always a sample, as in the stored path)
-    S = chunk // stride + 2
+    # endpoint M-1 (always a sample, as in the stored path).  The window
+    # must cover the WORST chunk alignment: for k0 % stride = stride-1 the
+    # last row's lo sample sits floor((chunk+stride-2)/stride) strides
+    # past lo0 — S = chunk//stride + 2 (the round-3 sizing) was one short
+    # for chunk % stride != 0, which silently EXTRAPOLATED (w > 1) the
+    # trailing rows of misaligned chunks (code-review round 4, verified
+    # at the n=1407 default chunk=126/stride=8).
+    S = (chunk + stride - 2) // stride + 2
     lo0 = (k0 // stride) * stride
     offs = jnp.minimum(lo0 + jnp.arange(S) * stride, M - 1)
     Ts = build(b + offs)

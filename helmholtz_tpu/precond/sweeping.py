@@ -488,6 +488,21 @@ def sample_positions(M: int, R: int) -> np.ndarray:
     return np.minimum(np.arange(Ms) * R, M - 1)
 
 
+def band_sample_window(M: int, R: int, k_first: int, k_last: int):
+    """Inclusive global-sample index window (s0, s1) bracketing sweep rows
+    k_first..k_last of a stride-R compressed stack whose samples are
+    `sample_positions(M, R)`: every row k in the band has its bracketing
+    pair (lo, lo+1) inside [s0, s1].  The single source of the band
+    geometry shared by dist.factor (per-band strided factorization),
+    dist.partition (single-chip stack re-layout), and bench.plan
+    (capacity accounting) — previously three hand-rolled copies
+    (code-review round 4)."""
+    Ms = (M - 1) // R + 2
+    s0 = min(k_first // R, Ms - 2)
+    s1 = min(k_last // R, Ms - 2) + 1
+    return s0, s1
+
+
 def compress_tables(M: int, R: int):
     """Per-row (g_w, g_lo) lerp tables for a stride-R compressed G stack:
     row k applies g_w[k,0] * S[g_lo[k]] + g_w[k,1] * S[g_lo[k]+1] over the

@@ -88,10 +88,10 @@ def _layer(H: Stencil9, l):
             ("cw", "cc", "ce", "cs", "cn", "csw", "cse", "cnw", "cne")}
 
 
-def _schur_corner_inverse9(H: Stencil9):
-    """T_{L-1} = S_{L-1}^{-1} for a batched 9-point subgrid family (fields
-    (..., L, n)): the layer-Schur recursion with TRIDIAGONAL couplings
-    S_l = D_l - L_l T_{l-1} U_{l-1}; one dense (batch, n, n) carry."""
+def _schur_scan9(H: Stencil9, collect: bool):
+    """Layer-Schur recursion with TRIDIAGONAL couplings,
+    S_l = D_l - L_l T_{l-1} U_{l-1}, shared by the corner-inverse and
+    full-stack variants (one scan body — code-review round 4)."""
     T0 = batched_inverse(
         _dense_tridiag(H.cw[..., 0, :], H.cc[..., 0, :], H.ce[..., 0, :]))
 
@@ -100,8 +100,8 @@ def _schur_corner_inverse9(H: Stencil9):
          cnw_p, cn_p, cne_p) = inputs
         W = _tridiag_lmatmul(csw_l, cs_l, cse_l, T_prev)   # L_l @ T
         W = _tridiag_rmatmul(W, cnw_p, cn_p, cne_p)        # .. @ U_{l-1}
-        S = _dense_tridiag(cw_l, cc_l, ce_l) - W
-        return batched_inverse(S), None
+        T = batched_inverse(_dense_tridiag(cw_l, cc_l, ce_l) - W)
+        return T, (T if collect else None)
 
     mv = lambda f, sl: jnp.moveaxis(f[..., sl, :], -2, 0)
     xs = (mv(H.cw, slice(1, None)), mv(H.cc, slice(1, None)),
@@ -110,32 +110,21 @@ def _schur_corner_inverse9(H: Stencil9):
           mv(H.cse, slice(1, None)),
           mv(H.cnw, slice(None, -1)), mv(H.cn, slice(None, -1)),
           mv(H.cne, slice(None, -1)))
-    T_last, _ = jax.lax.scan(step, T0, xs)
+    T_last, T_rest = jax.lax.scan(step, T0, xs)
+    return T0, T_last, T_rest
+
+
+def _schur_corner_inverse9(H: Stencil9):
+    """T_{L-1} = S_{L-1}^{-1} for a batched 9-point subgrid family (fields
+    (..., L, n)); one dense (batch, n, n) carry."""
+    _, T_last, _ = _schur_scan9(H, collect=False)
     return T_last
 
 
 def _schur_t_stack9(H: Stencil9):
     """All layer Schur-complement inverses T_l (the H_F block-Thomas stack
     for the 9-point scheme): (..., L, n, n)."""
-    T0 = batched_inverse(
-        _dense_tridiag(H.cw[..., 0, :], H.cc[..., 0, :], H.ce[..., 0, :]))
-
-    def step(T_prev, inputs):
-        (cw_l, cc_l, ce_l, csw_l, cs_l, cse_l,
-         cnw_p, cn_p, cne_p) = inputs
-        W = _tridiag_lmatmul(csw_l, cs_l, cse_l, T_prev)
-        W = _tridiag_rmatmul(W, cnw_p, cn_p, cne_p)
-        T = batched_inverse(_dense_tridiag(cw_l, cc_l, ce_l) - W)
-        return T, T
-
-    mv = lambda f, sl: jnp.moveaxis(f[..., sl, :], -2, 0)
-    xs = (mv(H.cw, slice(1, None)), mv(H.cc, slice(1, None)),
-          mv(H.ce, slice(1, None)),
-          mv(H.csw, slice(1, None)), mv(H.cs, slice(1, None)),
-          mv(H.cse, slice(1, None)),
-          mv(H.cnw, slice(None, -1)), mv(H.cn, slice(None, -1)),
-          mv(H.cne, slice(None, -1)))
-    _, T_rest = jax.lax.scan(step, T0, xs)
+    T0, _, T_rest = _schur_scan9(H, collect=True)
     T_rest = jnp.moveaxis(T_rest, 0, -3)
     return jnp.concatenate([T0[..., None, :, :], T_rest], axis=-3)
 

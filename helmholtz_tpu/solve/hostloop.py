@@ -361,6 +361,10 @@ def gmres_hostloop_batched(matvec_of: Callable, A_ops, B_pair: CArray, *,
                 if not np.all(np.isfinite(y[q, :k])):
                     stalled[q] = True
                     y[q] = 0.0
+                if stalled[q] and iters_out[q] == 0:
+                    # the residual-bookkeeping loop below skips stalled
+                    # members — record the steps they consumed here
+                    iters_out[q] = steps_total
             y_pair = CArray(jnp.asarray(np.real(y), B_pair.re.dtype),
                             jnp.asarray(np.imag(y), B_pair.re.dtype))
             x_pair = form_x(x_pair, V_pair, y_pair)

@@ -46,11 +46,22 @@ def load_preconditioner(path: str) -> SweepingPreconditioner:
         kw[name] = CArray(jnp.asarray(z[f"{name}_re"]),
                           jnp.asarray(z[f"{name}_im"]))
     g_stride = int(meta.get("g_stride", 0))
+    g_w = g_lo = None
+    if g_stride:
+        if "g_lo" in z.files and np.asarray(z["g_w"]).ndim == 2:
+            g_w = jnp.asarray(z["g_w"])
+            g_lo = jnp.asarray(z["g_lo"])
+        else:
+            # round-3 format: 1-D interpolation weights, no lo table —
+            # the tables are static given (M, stride), so rebuild them
+            # instead of failing on the old layout (code-review round 4)
+            from ..precond.sweeping import compress_tables
+
+            M = kw["a_cs"].re.shape[0] - int(meta["b"])
+            g_w, g_lo = compress_tables(M, g_stride)
     return SweepingPreconditioner(
         **kw, b=int(meta["b"]), d2_replace=bool(meta["d2_replace"]),
-        g_stride=g_stride,
-        g_w=(jnp.asarray(z["g_w"]) if g_stride else None),
-        g_lo=(jnp.asarray(z["g_lo"]) if g_stride else None))
+        g_stride=g_stride, g_w=g_w, g_lo=g_lo)
 
 
 def save_report(path: str, report) -> str:

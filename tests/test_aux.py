@@ -190,3 +190,57 @@ def test_multisolve_freq_amortized_guards():
         run_multisolve(63, 12, [4.0, 4.1], consts=[61.0, 62.0],
                        freq_anchor_every=2, factor_stride=4,
                        g_compress=True)
+
+
+def test_precond_checkpoint_loads_round3_compressed_format(tmp_path):
+    """Compressed checkpoints saved by the round-3 layout (1-D g_w, no
+    g_lo) must still load: the lerp tables are static given (M, stride),
+    so the loader rebuilds them via compress_tables instead of raising
+    KeyError (code-review round 4)."""
+    import jax.numpy as jnp
+
+    from helmholtz_tpu.driver import _assemble_stage, _factor_stage
+    from helmholtz_tpu.precond.sweeping import compress_tables
+
+    wf = jnp.result_type(float)
+    (A, hm, _), _ = _assemble_stage(
+        jnp.asarray(4.0, wf), jnp.asarray(61.0, wf), jnp.asarray(2.0, wf),
+        n=63, b=12, problem="c1_f1", fidelity="corrected",
+        cdtype=jnp.complex128)
+    P = _factor_stage(A, hm, b=12, hf_full_coupling=True, d2_replace=True,
+                      setup_chunk=128, factor_stride=4, g_compress=True)
+    path = save_preconditioner(str(tmp_path / "P.npz"), P)
+    # rewrite as the old layout: drop g_lo, flatten g_w to its old 1-D t
+    z = dict(np.load(path))
+    z["g_w"] = np.asarray(z["g_w"])[:, 1]          # old format stored t
+    del z["g_lo"]
+    np.savez_compressed(path, **z)
+    P2 = load_preconditioner(path)
+    g_w, g_lo = compress_tables(63 - 12, P.g_stride)
+    np.testing.assert_array_equal(np.asarray(P2.g_w), np.asarray(g_w))
+    np.testing.assert_array_equal(np.asarray(P2.g_lo), np.asarray(g_lo))
+    np.testing.assert_array_equal(np.asarray(P2.G.re), np.asarray(P.G.re))
+
+
+def test_cli_multisolve_amortized_checkpoint_resume(tmp_path):
+    """Amortized-sweep resume re-runs the WHOLE sweep as a unit (anchor
+    geometry must not be re-chosen over a leftover subset) and emits only
+    the missing records (code-review round 4)."""
+    ck = tmp_path / "sweep.jsonl"
+    args = ["multisolve", "--n", "63", "--b", "12",
+            "--freqs", "4.0", "4.1", "4.2", "--consts", "61.0",
+            "--multi-rhs", "1", "--factor-stride", "4", "--g-compress",
+            "--freq-anchor-every", "2", "--checkpoint", str(ck)]
+    assert cli_main(args) == 0
+    recs = [json.loads(l) for l in ck.read_text().splitlines()]
+    assert sorted(r["wave_num"] for r in recs) == [4.0, 4.1, 4.2]
+    # drop the middle record; resume must re-run the unit and re-emit
+    # ONLY the missing frequency
+    keep = [r for r in recs if r["wave_num"] != 4.1]
+    ck.write_text("".join(json.dumps(r) + "\n" for r in keep))
+    assert cli_main(args) == 0
+    recs2 = [json.loads(l) for l in ck.read_text().splitlines()]
+    assert len(recs2) == 3
+    assert sorted(r["wave_num"] for r in recs2) == [4.0, 4.1, 4.2]
+    again = [r for r in recs2 if r["wave_num"] == 4.1]
+    assert again[0]["setup_mode"] == "omega_lerp"

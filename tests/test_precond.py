@@ -330,3 +330,32 @@ def test_multisolve_recompute_batched_rhs():
     assert all(r < 1e-2 for r in rec["true_residuals"])
     for a, s in zip(rec["iterations"], stored["iterations"]):
         assert abs(a - s) <= 1, (rec["iterations"], stored["iterations"])
+
+
+def test_recompute_strided_misaligned_chunk_matches_stored():
+    """Misaligned chunks (chunk % stride != 0) must see the SAME globally
+    anchored interpolant as the stored strided path — the round-4 window
+    sizing bug made trailing rows of misaligned chunks extrapolate
+    (w > 1) instead of bracketing (code-review round 4)."""
+    import dataclasses
+
+    from helmholtz_tpu.precond.recompute import (apply_recompute,
+                                                 setup_recompute)
+    from helmholtz_tpu.precond.sweeping import apply_preconditioner
+
+    cfg, prob, P = _setup(n=63, b=12, wave_num=4.0, const=61.0,
+                          pad_lanes=False, factor_stride=4)
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.standard_normal((cfg.n, cfg.n))
+                    + 1j * rng.standard_normal((cfg.n, cfg.n)))
+    ref = apply_preconditioner(P, f, impl="xla")
+    scale = float(np.abs(np.asarray(ref)).max())
+    for chunk in (6, 13, 7):          # none divisible by stride 4
+        R = setup_recompute(cfg.n, cfg.b, cfg.wave_num, cfg.const,
+                            cfg.alpha, prob.c_full, A=prob.A,
+                            fidelity=cfg.fidelity, chunk=chunk,
+                            factor_stride=4)
+        got = apply_recompute(R, f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-10 * scale,
+                                   err_msg=f"chunk={chunk}")
