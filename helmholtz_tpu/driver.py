@@ -100,12 +100,15 @@ _G_DTYPES = {"working": None, "f32": jnp.float32, "bf16": jnp.bfloat16}
 
 
 @partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity",
-                                   "cdtype"))
+                                   "cdtype", "factor_stride"))
 def _assemble9_stage(wave_num, const, alpha, gamma, *, n, b, problem,
-                     fidelity, cdtype):
+                     fidelity, cdtype, factor_stride=1):
     """9-point assembly: the global Stencil9 operator + the moved-PML
-    9-point subgrid family + the forcing grid (fd.stencil
-    build_a_stencil9 / build_hm_stencils9)."""
+    9-point subgrid family + the forcing grid.  With factor_stride > 1
+    the family holds ONLY the strided sample subgrids — the full
+    nine-field (M, b, n) family at production b (b ~ n/14) would be
+    multiple GB of assembly state that the strided factorization never
+    reads (found by an HBM OOM at n=1023/b=72)."""
     with jax.named_scope("assemble9"):
         omega = (2.0 * jnp.pi * wave_num + 1j * alpha).astype(cdtype)
         h = 1.0 / (n + 1)
@@ -115,16 +118,21 @@ def _assemble9_stage(wave_num, const, alpha, gamma, *, n, b, problem,
         A9 = fd_stencil.build_a_stencil9(
             n, b, const, eta, omega, h, c_full, gamma=gamma,
             fidelity=fidelity, complex_dtype=cdtype)
+        rows = None
+        if factor_stride > 1 and (n - b) > factor_stride:
+            from .precond.sweeping import sample_positions
+            rows = jnp.asarray(b + sample_positions(n - b, factor_stride))
         hm9 = fd_stencil.build_hm_stencils9(
             n, b, const, eta, omega, h, c_full, gamma=gamma,
-            fidelity=fidelity, complex_dtype=cdtype)
+            fidelity=fidelity, complex_dtype=cdtype, rows=rows)
         return pairify((A9, hm9, f_grid.astype(cdtype)))
 
 
 @partial(jax.jit, static_argnames=("b", "d2_replace", "setup_chunk",
-                                   "g_dtype", "factor_stride"))
+                                   "g_dtype", "factor_stride",
+                                   "hm_sampled"))
 def _factor9_stage(A9_pair, hm9_pair, *, b, d2_replace, setup_chunk,
-                   g_dtype="working", factor_stride=1):
+                   g_dtype="working", factor_stride=1, hm_sampled=False):
     from .precond.sweeping9 import setup_preconditioner9
 
     with jax.named_scope("factor9"):
@@ -132,7 +140,8 @@ def _factor9_stage(A9_pair, hm9_pair, *, b, d2_replace, setup_chunk,
         P = setup_preconditioner9(A9, hm9, b, d2_replace=d2_replace,
                                   setup_chunk=setup_chunk,
                                   g_dtype=_G_DTYPES[g_dtype],
-                                  factor_stride=factor_stride)
+                                  factor_stride=factor_stride,
+                                  hm_sampled=hm_sampled)
         return pairify(P)
 
 
@@ -391,16 +400,19 @@ def _run_solver9(n, b, wave_num, const, alpha, problem, *, rtol, restart,
     is 5-point-only (SURVEY.md section 0)."""
     wf = jnp.result_type(float)
     t0 = time.perf_counter()
+    sampled = factor_stride > 1 and (n - b) > factor_stride
     A9_pair, hm9_pair, f_pair = _assemble9_stage(
         jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
         jnp.asarray(alpha, wf), jnp.asarray(gamma, wf), n=n, b=b,
-        problem=problem, fidelity=fidelity, cdtype=cdtype)
+        problem=problem, fidelity=fidelity, cdtype=cdtype,
+        factor_stride=factor_stride)
     use_precond = precond != "none"
     if precond == "moving_pml":
         P_pair = _factor9_stage(A9_pair, hm9_pair, b=b,
                                 d2_replace=d2_replace,
                                 setup_chunk=setup_chunk, g_dtype=g_dtype,
-                                factor_stride=factor_stride)
+                                factor_stride=factor_stride,
+                                hm_sampled=sampled)
     elif precond == "none":
         P_pair = None
     else:

@@ -201,18 +201,26 @@ def build_a_stencil9(n, b, const, eta, omega, h, c_full, *,
 def build_hm_stencils9(n, b, const, eta, omega, h, c_full, *,
                        gamma=2.0 / 3.0,
                        fidelity="corrected",
-                       complex_dtype=jnp.complex128) -> Stencil9:
+                       complex_dtype=jnp.complex128,
+                       rows=None) -> Stencil9:
     """Moving-PML subgrid family for the 9-POINT scheme: batched Stencil9
     with fields (M, b, n), M = n-b — the H_m of `build_a_stencil9`'s
     discretization with the x2 stretching moved to sit just below layer m
     (same structure as `build_hm_stencils`; the s2 factors depend only on
     the local layer l, the velocity samples on the global row).
 
+    `rows` (0-based global grid rows, default arange(b, n)) restricts the
+    family to those subgrids — the strided 9-point setup assembles ONLY
+    the sample rows (nine (M, b, n) complex fields at production b do not
+    fit HBM; the sampled family is ~stride-fold smaller).
+
     The subgrid boundary is Dirichlet on all sides: axis couplings masked
     at the subgrid edges, corner couplings masked on both their edges."""
     cd = complex_dtype
-    M = n - b
-    rows = jnp.arange(b, n)
+    if rows is None:
+        rows = jnp.arange(b, n)
+    rows = jnp.asarray(rows)
+    M = rows.shape[0]
     i = jnp.arange(1, n + 1)
     l = jnp.arange(1, b + 1)[:, None]              # local layer, 1-based
     m = (rows + 1)[:, None, None]                  # subgrid top, 1-based

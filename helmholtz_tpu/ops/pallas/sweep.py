@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.complexlib import CArray
 
 
-def _kernel(*refs, mode, br, nr, nrhs, n_pad, lerp, nsteps=0):
+def _kernel(*refs, mode, br, nr, nrhs, n_pad, lerp, tri, nsteps=0):
     if lerp:
         (lo_ref, gre, gim, gre2, gim2, lw, u2, c2, carry0,
          out2, carry, rhs, w) = refs
@@ -53,6 +53,25 @@ def _kernel(*refs, mode, br, nr, nrhs, n_pad, lerp, nsteps=0):
         gre, gim, u2, c2, carry0, out2, carry, rhs, w = refs
         gre2 = gim2 = lw = None
     r = pl.program_id(1)
+
+    def coup(kr, ki):
+        """Complex coupling application to the (R, n_pad) carry planes:
+        diagonal (5-point inter-layer blocks) or tridiagonal (9-point —
+        sub/dia/sup vectors applied with lane rolls; the masked-zero edge
+        coefficients kill the wrapped elements, and zero lane padding
+        keeps every rolled-in pad value zero)."""
+        if not tri:
+            cr, ci = c2[0, 0, 0], c2[0, 1, 0]          # (n_pad,)
+            return cr * kr - ci * ki, cr * ki + ci * kr
+        sr, dr, pr_ = c2[0, 0, 0], c2[0, 0, 1], c2[0, 0, 2]
+        si, di, pi_ = c2[0, 1, 0], c2[0, 1, 1], c2[0, 1, 2]
+        krm, kim = (jnp.roll(kr, 1, axis=-1), jnp.roll(ki, 1, axis=-1))
+        krp, kip = (jnp.roll(kr, -1, axis=-1), jnp.roll(ki, -1, axis=-1))
+        re = (sr * krm - si * kim) + (dr * kr - di * ki) \
+            + (pr_ * krp - pi_ * kip)
+        im = (sr * kim + si * krm) + (dr * ki + di * kr) \
+            + (pr_ * kip + pi_ * krp)
+        return re, im
 
     @pl.when((pl.program_id(0) == 0) & (r == 0))
     def _():
@@ -64,10 +83,8 @@ def _kernel(*refs, mode, br, nr, nrhs, n_pad, lerp, nsteps=0):
             rhs[...] = carry[...]
         else:
             uu = u2[0]                       # (2, R, n_pad)
-            cr, ci = c2[0, 0], c2[0, 1]      # (n_pad,) broadcast over R
             kr, ki = carry[0], carry[1]      # (R, n_pad)
-            pr = cr * kr - ci * ki
-            pi = cr * ki + ci * kr
+            pr, pi = coup(kr, ki)
             if mode == "bwd":
                 rhs[0] = uu[0] - pr
                 rhs[1] = uu[1] - pi
@@ -129,9 +146,9 @@ def _kernel(*refs, mode, br, nr, nrhs, n_pad, lerp, nsteps=0):
     def _():
         uu = u2[0]
         if mode == "fwd":
-            cr, ci = c2[0, 0], c2[0, 1]
-            res_re = uu[0] - (cr * w[0] - ci * w[1])
-            res_im = uu[1] - (cr * w[1] + ci * w[0])
+            pr, pi = coup(w[0], w[1])
+            res_re = uu[0] - pr
+            res_im = uu[1] - pi
         elif mode == "bwd":
             res_re, res_im = w[0], w[1]
         else:  # bwd_sub
@@ -207,7 +224,15 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     dtype = u.re.dtype
 
     u2 = _pack_rows(u, n_pad)                          # (S, 2, R, n_pad)
-    c2 = _pack_rows(CArray(c.re[:, None, :], c.im[:, None, :]), n_pad)
+    # c: (S, n) diagonal coupling vectors (5-point inter-layer blocks) or
+    # (S, 3, n) [sub, diag, sup] triples (9-point tridiagonal blocks —
+    # precond.sweeping9); the triple rides the pack like a 3-wide row
+    # block and the kernel applies it with lane rolls
+    tri = c.re.ndim == 3
+    if tri:
+        c2 = _pack_rows(c, n_pad)                      # (S, 2, 3, n_pad)
+    else:
+        c2 = _pack_rows(CArray(c.re[:, None, :], c.im[:, None, :]), n_pad)
     pad = ((0, 0), (0, n_pad - carry0.re.shape[-1]))
     c0 = jnp.stack([jnp.pad(carry0.re, pad), jnp.pad(carry0.im, pad)])
 
@@ -232,7 +257,7 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     g_spec = pl.BlockSpec((1, br, n_pad), g_map, memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, 2, nrhs, n_pad), row_map,
                             memory_space=pltpu.VMEM)
-    c_spec = pl.BlockSpec((1, 2, 1, n_pad), row_map,
+    c_spec = pl.BlockSpec((1, 2, 3 if tri else 1, n_pad), row_map,
                           memory_space=pltpu.VMEM)
 
     in_specs = [g_spec, g_spec]
@@ -254,7 +279,7 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
     args += [u2, c2, c0]
 
     kern = functools.partial(_kernel, mode=mode, br=br, nr=nr, nrhs=nrhs,
-                             n_pad=n_pad, lerp=lerp, nsteps=S)
+                             n_pad=n_pad, lerp=lerp, tri=tri, nsteps=S)
     out_shape = jax.ShapeDtypeStruct((S, 2, nrhs, n_pad), dtype)
     scratch = [
         pltpu.VMEM((2, nrhs, n_pad), dtype),   # carry

@@ -357,11 +357,10 @@ def _factor_strided(hm, *, n_pad: int, g_dtype,
     """
     M, _, n = hm.cc.shape
     wf = hm.cc.real.dtype                     # working float
-    ks_list = list(range(0, M, stride))
-    if ks_list[-1] != M - 1:
-        ks_list.append(M - 1)
-    Ms = len(ks_list)
-    ks_arr = jnp.asarray(ks_list)
+    # sample_positions is the shared layout (a duplicated endpoint when
+    # stride | M-1 costs one redundant factorization and lerps to weight
+    # zero — keeping the layout identical to the compressed/expand paths)
+    ks_arr = jnp.asarray(sample_positions(M, stride))
     hm_s = jax.tree.map(lambda f: f[ks_arr], hm)
     # samples at working precision, already lane-padded (zero pads lerp to
     # zero, so interpolation happens in padded space)
@@ -369,6 +368,22 @@ def _factor_strided(hm, *, n_pad: int, g_dtype,
                                 setup_chunk=setup_chunk,
                                 schur_block=schur_block,
                                 corner_fn=corner_fn)
+    return expand_strided_samples(Ts, M=M, stride=stride, g_dtype=g_dtype,
+                                  setup_chunk=setup_chunk)
+
+
+def expand_strided_samples(Ts: CArray, *, M: int, stride: int, g_dtype,
+                           setup_chunk: int = 128) -> CArray:
+    """Chunked lerp-expansion of a stride-sampled corner-inverse stack Ts
+    (Ms, n_pad, n_pad; positions `sample_positions(M, stride)`) to the
+    dense (M, n_pad, n_pad) stack at `g_dtype` — the second half of the
+    strided factorization, exposed so callers that assembled ONLY the
+    sample subgrids (the 9-point path: nine (M, b, n) fields would not
+    fit HBM at production b) can expand without the full family."""
+    wf = Ts.re.dtype
+    n_pad = Ts.re.shape[-1]
+    ks_arr = jnp.asarray(sample_positions(M, stride))
+    Ms = ks_arr.shape[0]
 
     wchunk = max(4, min(setup_chunk, int(9.0e7) // (n_pad * n_pad)))
     wchunk = min(wchunk, M)
@@ -380,7 +395,9 @@ def _factor_strided(hm, *, n_pad: int, g_dtype,
         m = start + jnp.arange(wchunk)
         seg = jnp.minimum(m // stride, Ms - 2)
         lo, hi = ks_arr[seg], ks_arr[seg + 1]
-        w = ((m - lo) / (hi - lo)).astype(wf)[:, None, None]
+        # duplicated endpoint sample (stride | M-1): hi == lo there, and
+        # m == lo makes the guarded weight exactly 0 (pure lo sample)
+        w = ((m - lo) / jnp.maximum(hi - lo, 1)).astype(wf)[:, None, None]
 
         def lerp(T):
             return ((1.0 - w) * jnp.take(T, seg, axis=0)

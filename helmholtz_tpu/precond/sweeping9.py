@@ -212,21 +212,42 @@ def setup_preconditioner9(A: Stencil9, hm: Stencil9, b: int, *,
                           setup_chunk: int = 128,
                           pad_lanes: bool | None = None,
                           g_dtype=None,
-                          factor_stride: int = 1
+                          factor_stride: int = 1,
+                          hm_sampled: bool = False
                           ) -> SweepingPreconditioner9:
     """Factor the 9-point moving-PML preconditioner: H_F9 block-Thomas +
     the batched corner inverses of the 9-point subgrid family — the
     5-point `setup_preconditioner` with the tridiagonal-coupling Schur
-    recursion plugged into the shared chunk/stride machinery."""
-    M, _, n = hm.cc.shape
+    recursion plugged into the shared chunk/stride machinery.
+
+    `hm_sampled=True` declares that `hm` holds ONLY the subgrids at
+    `sample_positions(M, factor_stride)` (assembled via
+    build_hm_stencils9's `rows` — the memory-lean path: the FULL 9-field
+    family at production b does not fit HBM); the samples are factored
+    and lerp-expanded to the dense stack."""
+    from .sweeping import expand_strided_samples
+
+    _, _, n = hm.cc.shape
+    M = A.cc.shape[0] - b
     if pad_lanes is None:
         pad_lanes = jax.default_backend() == "tpu"
     n_pad = (-(-n // 128) * 128) if pad_lanes else n
     g_dtype = g_dtype or hm.cc.real.dtype
-    G = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=g_dtype,
-                               setup_chunk=setup_chunk,
-                               stride=factor_stride,
-                               corner_fn=_schur_corner_inverse9)
+    if hm_sampled:
+        if factor_stride <= 1:
+            raise ValueError("hm_sampled requires factor_stride > 1")
+        wf = hm.cc.real.dtype
+        Ts = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=wf,
+                                    setup_chunk=setup_chunk,
+                                    corner_fn=_schur_corner_inverse9)
+        G = expand_strided_samples(Ts, M=M, stride=factor_stride,
+                                   g_dtype=g_dtype,
+                                   setup_chunk=setup_chunk)
+    else:
+        G = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=g_dtype,
+                                   setup_chunk=setup_chunk,
+                                   stride=factor_stride,
+                                   corner_fn=_schur_corner_inverse9)
     HF = fd_stencil.extract_hf_stencil9(A, b)
     TF = _schur_t_stack9(HF)
     hf_lo, hf_up = _coupling_triples(HF)
@@ -241,11 +262,17 @@ def setup_preconditioner9(A: Stencil9, hm: Stencil9, b: int, *,
 
 
 def apply_preconditioner9(P: SweepingPreconditioner9,
-                          f: jax.Array) -> jax.Array:
+                          f: jax.Array, impl: str = "auto") -> jax.Array:
     """One 9-point sweep solve u ~= A9^{-1} f — Algorithm 2.4 with
     tridiagonal coupling applications; same fused two-pass structure (and
     the same corrected/as-shipped D2 switch) as the 5-point
-    `apply_preconditioner`'s XLA formulation."""
+    `apply_preconditioner`.
+
+    `impl`: "pallas" runs the two sweeps as the Pallas recursion kernel
+    (the kernel's tridiagonal-coupling mode — `c` triples applied with
+    lane rolls), "xla" the lax.scan formulation, "auto" picks Pallas on
+    TPU when the lane-padded layout allows (same dispatch rule as the
+    5-point apply)."""
     b = P.b
     L, n = P.grid_shape
     TF = P.TF.cplx
@@ -253,6 +280,9 @@ def apply_preconditioner9(P: SweepingPreconditioner9,
     a_l, a_u = P.a_l.cplx, P.a_u.cplx
     Gre, Gim = P.G.re, P.G.im
     n_pad = Gre.shape[-1]
+    if impl == "auto":
+        impl = ("pallas" if (jax.default_backend() == "tpu"
+                             and n_pad % 128 == 0) else "xla")
     M_total = L - b
     u = f
 
@@ -274,6 +304,27 @@ def apply_preconditioner9(P: SweepingPreconditioner9,
 
     # top-row upper coupling zeroed (no layer above)
     a_u_top0 = jnp.concatenate([a_u[b:-1], jnp.zeros_like(a_u[-1:])], axis=0)
+
+    if impl == "pallas":
+        from ..ops.pallas.sweep import pallas_sweep
+
+        interp = jax.default_backend() == "cpu"
+        rows_tri = lambda z, sl: CArray(z.re[sl], z.im[sl])   # (S, 3, n)
+        if M_total > 1:
+            u_fwd = pallas_sweep(
+                P.G, CArray.of(u[b + 1:]),
+                rows_tri(P.a_l, slice(b + 1, None)),
+                CArray.of(u[b]), mode="fwd", interpret=interp)
+            u = jnp.concatenate([u[:b + 1], u_fwd.cplx], axis=0)
+        u_bwd = pallas_sweep(
+            P.G, CArray.of(u[b:]), CArray.of(a_u_top0),
+            CArray.of(jnp.zeros_like(u[-1])),
+            mode=("bwd" if P.d2_replace else "bwd_sub"), interpret=interp)
+        u = jnp.concatenate([u[:b], u_bwd.cplx], axis=0)
+        rhs = jnp.zeros_like(TFuF).at[b - 1].set(
+            _tridiag_matvec(*trip(a_u[b - 1]), u[b]))
+        uF = TFuF - thomas(rhs)
+        return jnp.concatenate([uF, u[b:]], axis=0)
 
     ks = jnp.arange(M_total - 1)
 
