@@ -118,8 +118,11 @@ def _assemble9_stage(wave_num, const, alpha, gamma, *, n, b, problem,
         A9 = fd_stencil.build_a_stencil9(
             n, b, const, eta, omega, h, c_full, gamma=gamma,
             fidelity=fidelity, complex_dtype=cdtype)
+        # factor_stride > 1 here means the CALLER (_run_solver9) decided
+        # the sampled layout applies — it passes stride 1 otherwise, so
+        # the sampling predicate lives in exactly one place
         rows = None
-        if factor_stride > 1 and (n - b) > factor_stride:
+        if factor_stride > 1:
             from .precond.sweeping import sample_positions
             rows = jnp.asarray(b + sample_positions(n - b, factor_stride))
         hm9 = fd_stencil.build_hm_stencils9(
@@ -400,12 +403,16 @@ def _run_solver9(n, b, wave_num, const, alpha, problem, *, rtol, restart,
     is 5-point-only (SURVEY.md section 0)."""
     wf = jnp.result_type(float)
     t0 = time.perf_counter()
+    # single source of the sampled-layout decision: assembly receives the
+    # stride ONLY when sampling applies (it then always samples), and the
+    # factor stage's hm_sampled flag is this same boolean — the two can
+    # never drift (code-review round 4)
     sampled = factor_stride > 1 and (n - b) > factor_stride
     A9_pair, hm9_pair, f_pair = _assemble9_stage(
         jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
         jnp.asarray(alpha, wf), jnp.asarray(gamma, wf), n=n, b=b,
         problem=problem, fidelity=fidelity, cdtype=cdtype,
-        factor_stride=factor_stride)
+        factor_stride=factor_stride if sampled else 1)
     use_precond = precond != "none"
     if precond == "moving_pml":
         P_pair = _factor9_stage(A9_pair, hm9_pair, b=b,

@@ -183,7 +183,12 @@ def pallas_sweep(G: CArray, u: CArray, c: CArray, carry0: CArray, *,
              would copy the multi-GB stack).
              bwd/bwd_sub: S = Mg, steps process rows last-to-first using
              G[Mg-1-m]; `c` must already have the top row zeroed.
-    c      : (S, n) CArray — coupling rows (shared across RHS).
+    c      : (S, n) CArray — DIAGONAL inter-layer coupling rows (5-point
+             blocks), shared across RHS; or (S, 3, n) — [sub, diag, sup]
+             TRIDIAGONAL coupling triples (9-point blocks,
+             precond.sweeping9), applied in-kernel with lane rolls.  The
+             mode is inferred from the rank, so pass exactly one of the
+             two shapes.
     carry0 : (n,) or (R, n) CArray — initial carry (fwd: the row below;
              bwd: zeros).
 

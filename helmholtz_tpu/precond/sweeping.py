@@ -384,6 +384,13 @@ def expand_strided_samples(Ts: CArray, *, M: int, stride: int, g_dtype,
     n_pad = Ts.re.shape[-1]
     ks_arr = jnp.asarray(sample_positions(M, stride))
     Ms = ks_arr.shape[0]
+    if Ts.re.shape[0] != Ms:
+        # jnp.take clips out-of-range indices under jit, so a mismatched
+        # stack would silently yield a wrong G for every late row
+        raise ValueError(
+            f"sample stack has {Ts.re.shape[0]} entries; "
+            f"sample_positions({M}, {stride}) defines {Ms} — the stack "
+            "was not assembled at the shared strided layout")
 
     wchunk = max(4, min(setup_chunk, int(9.0e7) // (n_pad * n_pad)))
     wchunk = min(wchunk, M)

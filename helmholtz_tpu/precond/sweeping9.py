@@ -19,9 +19,10 @@ dense (n, n) block per subgrid — so the batched MXU factorization, the
 chunk/stride machinery, and the G storage formats of the 5-point path are
 reused verbatim (`factor_corner_inverses(corner_fn=...)`).
 
-The apply runs as the XLA scan formulation (the Pallas sweep kernel's
-per-step coupling contraction is diagonal-only; the apply is G-traffic
-bound, so the kernel is a later optimization, not a correctness gap).
+The apply dispatches to the Pallas sweep kernel on TPU — the kernel's
+tridiagonal-coupling mode applies the [sub, diag, sup] triples with lane
+rolls (ops.pallas.sweep) — and to the XLA scan formulation elsewhere;
+interpret-mode parity between the two is pinned by tests/test_precond9.
 
 PML-WIDTH GUIDANCE (measured on TPU, c1-f1 at the reference's
 points-per-wavelength): the 9-point subgrid needs a WIDER moved PML than
@@ -321,46 +322,47 @@ def apply_preconditioner9(P: SweepingPreconditioner9,
             CArray.of(jnp.zeros_like(u[-1])),
             mode=("bwd" if P.d2_replace else "bwd_sub"), interpret=interp)
         u = jnp.concatenate([u[:b], u_bwd.cplx], axis=0)
-        rhs = jnp.zeros_like(TFuF).at[b - 1].set(
-            _tridiag_matvec(*trip(a_u[b - 1]), u[b]))
-        uF = TFuF - thomas(rhs)
-        return jnp.concatenate([uF, u[b:]], axis=0)
+    else:
+        ks = jnp.arange(M_total - 1)
 
-    ks = jnp.arange(M_total - 1)
+        def g_row(k):
+            return (jax.lax.dynamic_index_in_dim(Gre, k, 0,
+                                                 keepdims=False),
+                    jax.lax.dynamic_index_in_dim(Gim, k, 0,
+                                                 keepdims=False))
 
-    def g_row(k):
-        return (jax.lax.dynamic_index_in_dim(Gre, k, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(Gim, k, 0, keepdims=False))
+        # forward sweep j = b+1..L-1: u_j -= L_j @ (G_{j-1} u_{j-1})
+        def fwd(prev, inputs):
+            l_j, u_j, k = inputs
+            gre, gim = g_row(k)
+            new = u_j - _tridiag_matvec(*trip(l_j),
+                                        g_matvec(gre, gim, prev))
+            return new, new
 
-    # forward sweep j = b+1..L-1: u_j -= L_j @ (G_{j-1} u_{j-1})
-    def fwd(prev, inputs):
-        l_j, u_j, k = inputs
-        gre, gim = g_row(k)
-        new = u_j - _tridiag_matvec(*trip(l_j), g_matvec(gre, gim, prev))
-        return new, new
+        _, u_fwd = jax.lax.scan(fwd, u[b], (a_l[b + 1:], u[b + 1:], ks))
+        u = jnp.concatenate([u[:b + 1], u_fwd], axis=0)
 
-    _, u_fwd = jax.lax.scan(fwd, u[b], (a_l[b + 1:], u[b + 1:], ks))
-    u = jnp.concatenate([u[:b + 1], u_fwd], axis=0)
+        # fused diagonal + backward sweep (reverse scan):
+        #   corrected:  u_j = G_j (u_j - U_j u_{j+1})
+        #   as-shipped: u_j = u_j - G_j (u_j + U_j u_{j+1})
+        def bwd(nxt, inputs):
+            u_j, uj_trip, k = inputs
+            gre, gim = g_row(k)
+            coup = _tridiag_matvec(*trip(uj_trip), nxt)
+            if P.d2_replace:
+                new = g_matvec(gre, gim, u_j - coup)
+            else:
+                new = u_j - g_matvec(gre, gim, u_j + coup)
+            return new, new
 
-    # fused diagonal + backward sweep (reverse scan):
-    #   corrected:  u_j = G_j (u_j - U_j u_{j+1})
-    #   as-shipped: u_j = u_j - G_j (u_j + U_j u_{j+1})
-    def bwd(nxt, inputs):
-        u_j, uj_trip, k = inputs
-        gre, gim = g_row(k)
-        coup = _tridiag_matvec(*trip(uj_trip), nxt)
-        if P.d2_replace:
-            new = g_matvec(gre, gim, u_j - coup)
-        else:
-            new = u_j - g_matvec(gre, gim, u_j + coup)
-        return new, new
+        ks_all = jnp.arange(M_total)
+        _, u_bwd = jax.lax.scan(
+            bwd, jnp.zeros_like(u[-1]), (u[b:], a_u_top0, ks_all),
+            reverse=True)
+        u = jnp.concatenate([u[:b], u_bwd], axis=0)
 
-    ks_all = jnp.arange(M_total)
-    _, u_bwd = jax.lax.scan(
-        bwd, jnp.zeros_like(u[-1]), (u[b:], a_u_top0, ks_all), reverse=True)
-    u = jnp.concatenate([u[:b], u_bwd], axis=0)
-
-    # F-block closure: u_F = T_F u_F - T_F (U_{b-1}^T-coupling of u_b)
+    # F-block closure (shared by both impls):
+    # u_F = T_F u_F - T_F (U_{b-1}-coupling of u_b)
     rhs = jnp.zeros_like(TFuF).at[b - 1].set(
         _tridiag_matvec(*trip(a_u[b - 1]), u[b]))
     uF = TFuF - thomas(rhs)
