@@ -222,7 +222,8 @@ def cmd_multisolve(args):
               restart=args.restart, maxiter=args.maxiter or 200,
               fidelity=args.fidelity, g_dtype=args.g_dtype,
               factor_stride=args.factor_stride, g_compress=args.g_compress,
-              precond=args.msolve_precond, mesh_devices=args.mesh,
+              precond=args.msolve_precond, stencil=args.stencil,
+              stencil_gamma=args.stencil_gamma, mesh_devices=args.mesh,
               precision=args.precision,
               precond_refine=args.precond_refine)
 
@@ -356,6 +357,10 @@ def main(argv=None):
                    choices=["moving_pml", "recompute"],
                    help="recompute: factor-free capacity path; the batch "
                         "shares each chunk's re-factorization")
+    p.add_argument("--stencil", default="5pt", choices=["5pt", "9pt"],
+                   help="9pt: batched sources through the 9-point scheme "
+                        "and its own sweeping preconditioner")
+    p.add_argument("--stencil-gamma", type=float, default=2.0 / 3.0)
     p.add_argument("--metrics", metavar="JSONL")
     p.add_argument("--checkpoint", metavar="JSONL",
                    help="sweep progress file: completed frequencies are "

@@ -694,18 +694,29 @@ def _msolve_stage(A_pair, P_pair, F_pair, rtol, *, restart, maxiter,
     P_pair may be a stored (SweepingPreconditioner) or a recompute
     (RecomputeSweepingPreconditioner) state — each gets its own batch
     dispatch so the G stream / chunk rematerialization is shared."""
+    from .core.sparse import Stencil9
     from .precond.recompute import (RecomputeSweepingPreconditioner,
                                     batchable_recompute_operator)
     from .precond.sweeping import batchable_operator
+    from .precond.sweeping9 import (SweepingPreconditioner9,
+                                    batchable_operator9)
     from .solve.batched import solve_multi_rhs
 
     A, F = complexify((A_pair, F_pair))
     K = F.shape[0]
     if isinstance(P_pair, RecomputeSweepingPreconditioner):
         M = batchable_recompute_operator(P_pair)
+    elif isinstance(P_pair, SweepingPreconditioner9):
+        M = batchable_operator9(P_pair)
     else:
         M = batchable_operator(P_pair)
-    if jax.default_backend() == "tpu":
+    if isinstance(A_pair, Stencil9):
+        # 9-point operator: the XLA shift-and-add SpMV (vmaps natively;
+        # the preconditioner apply dominates, as in the 5-point path)
+        from .ops.spmv import stencil9_matvec
+        L, n = A.cc.shape
+        matvec = lambda v: stencil9_matvec(A, v.reshape(L, n)).reshape(-1)
+    elif jax.default_backend() == "tpu":
         # fused Pallas stencil SpMV (same dispatch as _solve_stage; the
         # XLA shift-and-add path costs ~6 ms/product at n=1023) — routed
         # under the solver's vmap through a custom rule that maps the
@@ -749,6 +760,8 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
                    g_compress: bool = False,
                    freq_anchor_every: int = 1,
                    precond: str = "moving_pml",
+                   stencil: str = "5pt",
+                   stencil_gamma: float = 2.0 / 3.0,
                    mesh_devices: Optional[int] = None,
                    precision: str = "f32",
                    precond_refine: int = 0,
@@ -815,6 +828,20 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
     if precond == "recompute" and mesh is not None:
         raise ValueError("precond='recompute' is the single-chip capacity "
                          "path; the distributed path shards stored factors")
+    if stencil == "9pt":
+        bad = [name for name, (v, d) in {
+            "mesh_devices": (mesh_devices, None),
+            "precond": (precond, "moving_pml"),
+            "freq_anchor_every": (freq_anchor_every, 1),
+            "g_compress": (g_compress, False),
+            "precision": (precision, "f32"),
+            "precond_refine": (precond_refine, 0),
+        }.items() if v != d]
+        if bad:
+            raise ValueError(f"multisolve stencil='9pt' does not support "
+                             f"{bad} yet (5-point-path features)")
+    elif stencil != "5pt":
+        raise ValueError(f"unknown stencil {stencil!r}")
     if freq_anchor_every > 1:
         if precond != "moving_pml":
             raise ValueError("freq_anchor_every amortizes STORED factor "
@@ -870,6 +897,28 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
             shard = state.G_pad.re.addressable_shards[0].data
             per_device_g = 2 * shard.nbytes           # re + im
             A_np = tree_to_np(A_sh)
+        elif stencil == "9pt":
+            sampled = factor_stride > 1 and (n - b) > factor_stride
+            A_pair, hm_pair, _ = _assemble9_stage(
+                jnp.asarray(wn, wf), jnp.asarray(C, wf),
+                jnp.asarray(alpha, wf), jnp.asarray(stencil_gamma, wf),
+                n=n, b=b, problem=problem, fidelity=fidelity,
+                cdtype=cdtype,
+                factor_stride=factor_stride if sampled else 1)
+            P_pair = _factor9_stage(A_pair, hm_pair, b=b,
+                                    d2_replace=True,
+                                    setup_chunk=setup_chunk,
+                                    g_dtype=g_dtype,
+                                    factor_stride=factor_stride,
+                                    hm_sampled=sampled)
+            _host_sync(P_pair)
+            t1 = time.perf_counter()
+            res_pair = _msolve_stage(A_pair, P_pair, F_pair,
+                                     jnp.asarray(rtol, wf),
+                                     restart=restart, maxiter=maxiter)
+            _host_sync(res_pair)
+            t2 = time.perf_counter()
+            A_np = tree_to_np(A_pair)
         else:
             (A_pair, hm_pair, _), c_full = _assemble_stage(
                 jnp.asarray(wn, wf), jnp.asarray(C, wf),
@@ -914,7 +963,7 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
         F_np = F_pair.to_np().reshape(n_sources, n, n)
         X = res_pair.x.to_np().reshape(n_sources, n, n)
         true_res = [float(np.linalg.norm(
-            (_host_stencil_matvec(A_np, X[k]) - F_np[k]).ravel())
+            (_host_matvec_any(A_np, X[k]) - F_np[k]).ravel())
             / np.linalg.norm(F_np[k].ravel())) for k in range(n_sources)]
         rec = {
             "n": n, "b": b, "wave_num": float(wn), "const": float(C),
@@ -925,6 +974,9 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
             "init_time_s": t1 - t0, "solve_time_s": t2 - t1,
             "dtype": str(np.dtype(cdtype)),
         }
+        if stencil == "9pt":
+            rec["stencil"] = "9pt"
+            rec["stencil_gamma"] = stencil_gamma
         if mesh is not None:
             rec["mesh_devices"] = int(mesh_devices)
             rec["per_device_g_bytes"] = int(per_device_g)
@@ -934,6 +986,13 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
             rec["g_dtype"] = g_dtype
         records.append(rec)
     return records
+
+
+def _host_matvec_any(A_np, u):
+    """Host stencil apply dispatch on the operator footprint (Stencil9
+    carries corner fields)."""
+    return (_host_stencil9_matvec(A_np, u) if hasattr(A_np, "csw")
+            else _host_stencil_matvec(A_np, u))
 
 
 def _g_accounting(P_pair, n, b, g_compress):

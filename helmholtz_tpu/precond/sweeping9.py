@@ -367,3 +367,78 @@ def apply_preconditioner9(P: SweepingPreconditioner9,
         _tridiag_matvec(*trip(a_u[b - 1]), u[b]))
     uF = TFuF - thomas(rhs)
     return jnp.concatenate([uF, u[b:]], axis=0)
+
+
+def apply_preconditioner9_multi(P: SweepingPreconditioner9, F: jax.Array,
+                                impl: str = "auto") -> jax.Array:
+    """Batched-RHS 9-point apply: F of shape (B, L, n) -> (B, L, n).
+
+    On TPU the whole batch rides ONE stream of the G stack through the
+    Pallas kernel's batched rows (exactly like the 5-point
+    `apply_preconditioner_multi`); elsewhere it vmaps the single-RHS
+    apply."""
+    b = P.b
+    L, n = P.grid_shape
+    n_pad = P.G.re.shape[-1]
+    if impl == "auto":
+        impl = ("pallas" if (jax.default_backend() == "tpu"
+                             and n_pad % 128 == 0) else "xla")
+    if impl != "pallas":
+        return jax.vmap(lambda f: apply_preconditioner9(P, f, impl))(F)
+
+    from ..ops.pallas.sweep import pallas_sweep
+
+    interp = jax.default_backend() == "cpu"
+    TF = P.TF.cplx
+    hf_l, hf_u = P.hf_l.cplx, P.hf_u.cplx
+    a_l, a_u = P.a_l.cplx, P.a_u.cplx
+    trip = lambda t: (t[..., 0, :], t[..., 1, :], t[..., 2, :])
+    thomas = jax.vmap(lambda r: _block_thomas_solve9(
+        TF, trip(hf_l), trip(hf_u), r))
+    rows_tri = lambda z, sl: CArray(z.re[sl], z.im[sl])
+    to_sbn = lambda x: CArray.of(jnp.swapaxes(x, 0, 1))   # (B,S,n)->(S,B,n)
+
+    u = F
+    TFuF = thomas(u[:, :b])                               # (B, b, n)
+    u = u.at[:, b].add(-jax.vmap(
+        lambda v: _tridiag_matvec(*trip(a_l[b]), v))(TFuF[:, b - 1]))
+
+    M_total = L - b
+    a_u_top0 = jnp.concatenate([a_u[b:-1], jnp.zeros_like(a_u[-1:])],
+                               axis=0)
+    if M_total > 1:
+        u_fwd = pallas_sweep(
+            P.G, to_sbn(u[:, b + 1:]), rows_tri(P.a_l, slice(b + 1, None)),
+            CArray.of(u[:, b]), mode="fwd", interpret=interp)
+        u = jnp.concatenate(
+            [u[:, :b + 1], jnp.swapaxes(u_fwd.cplx, 0, 1)], axis=1)
+    u_bwd = pallas_sweep(
+        P.G, to_sbn(u[:, b:]), CArray.of(a_u_top0),
+        CArray.of(jnp.zeros_like(u[:, -1])),
+        mode=("bwd" if P.d2_replace else "bwd_sub"), interpret=interp)
+    u = jnp.concatenate([u[:, :b], jnp.swapaxes(u_bwd.cplx, 0, 1)], axis=1)
+
+    rhs = jnp.zeros_like(TFuF).at[:, b - 1].set(jax.vmap(
+        lambda v: _tridiag_matvec(*trip(a_u[b - 1]), v))(u[:, b]))
+    uF = TFuF - thomas(rhs)
+    return jnp.concatenate([uF, u[:, b:]], axis=1)
+
+
+def batchable_operator9(P: SweepingPreconditioner9):
+    """Flat-vector callable whose vmap rule dispatches to
+    `apply_preconditioner9_multi` — the 9-point mirror of
+    `sweeping.batchable_operator`, for vmap-built batched solvers."""
+    L, n = P.grid_shape
+    p_leaves, p_tree = jax.tree.flatten(P)
+
+    @jax.custom_batching.custom_vmap
+    def M_impl(x, *leaves):
+        return jax.tree.unflatten(p_tree, leaves)(x)
+
+    @M_impl.def_vmap
+    def _rule(axis_size, in_batched, xs, *leaves):
+        P_ = jax.tree.unflatten(p_tree, leaves)
+        out = apply_preconditioner9_multi(P_, xs.reshape(axis_size, L, n))
+        return out.reshape(axis_size, L * n), True
+
+    return lambda x: M_impl(x, *p_leaves)
