@@ -49,28 +49,35 @@ def _solve(n, wn, C, reps=3, **kw):
     return med
 
 
-def _measure_bounded(name, fn, tries=3):
-    """Run a roofline measurement whose `roofline_fraction` must land in
-    (0, 1] — each kernel is roofed against a peak matching its read:write
-    mix (bench.roofline measure_spmv docstring), so a fraction above 1 is
-    by construction a MEASUREMENT error (tunnel jitter skewing the peak
-    probe), not a result.  Re-measures (peaks included) up to `tries`
-    times; if it still lands above 1 the record is tagged
-    `fraction_error` so no impossible fraction is ever reported as a
-    roofline number (VERDICT round 3, Weak #1)."""
-    out = {}
-    for attempt in range(tries):
+def _measure_bounded(name, fn, reps=3):
+    """Run a roofline measurement a FIXED `reps` times and report the
+    median `roofline_fraction` sample (kernels are roofed against peaks
+    matching their read:write mix — bench.roofline measure_spmv).
+
+    A fixed-count median replaces round 4's resample-until-in-(0,1] loop,
+    which was a biased estimator near peak: a noisy sample at 1.01 was
+    re-drawn while one at 0.99 was kept, systematically pulling reported
+    fractions of near-roofline kernels below their true value (advisor
+    round 4).  The median of all draws is unconditional; if it still
+    exceeds 1 (tunnel jitter skewing the peak probe on most draws) the
+    record is tagged `fraction_error` rather than reported as a roofline
+    number, and the spread of the draws is recorded either way."""
+    outs = []
+    for _ in range(reps):
         try:
-            out = fn()
+            outs.append(fn())
         except Exception as e:
             print(f"{name} roofline failed: {e}", file=sys.stderr)
-            return {}
-        frac = out.get("roofline_fraction", 0.0)
-        if 0.0 < frac <= 1.0:
-            return out
-        print(f"{name} roofline fraction {frac:.3f} outside (0, 1] — "
-              f"re-measuring ({attempt + 1}/{tries})", file=sys.stderr)
-    out["fraction_error"] = True
+            break
+    outs = [o for o in outs if o.get("roofline_fraction", 0.0) > 0.0]
+    if not outs:
+        return {}
+    outs.sort(key=lambda o: o["roofline_fraction"])
+    out = outs[len(outs) // 2]
+    out["fraction_spread"] = [round(outs[0]["roofline_fraction"], 3),
+                              round(outs[-1]["roofline_fraction"], 3)]
+    if out["roofline_fraction"] > 1.0:
+        out["fraction_error"] = True
     return out
 
 

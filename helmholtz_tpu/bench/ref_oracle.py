@@ -107,6 +107,159 @@ def make_apply(n, b, lu_HF, lus, a_cs, a_cn):
     return apply_m
 
 
+def _strip9_to_csc(S):
+    """(L, n) Stencil9 fields -> scipy CSC with offsets 0, +-1, +-n,
+    +-(n-1), +-(n+1).  The assembly's edge masks (csw[:,0] = csw[0,:] = 0
+    etc.) zero exactly the entries that would otherwise wrap across row
+    boundaries in the flat indexing — the same invariant the 5-point
+    strip builder relies on for its +-1 offsets."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    L, nn = np.asarray(S.cc).shape
+    f = {k: np.asarray(getattr(S, k)).reshape(-1)
+         for k in ("cc", "cw", "ce", "cs", "cn", "csw", "cse", "cnw",
+                   "cne")}
+    return sp.diags(
+        [f["cc"], f["cw"][1:], f["ce"][:-1], f["cs"][nn:], f["cn"][:-nn],
+         f["csw"][nn + 1:], f["cse"][nn - 1:],
+         f["cnw"][:-(nn - 1)], f["cne"][:-(nn + 1)]],
+        [0, -1, 1, -nn, nn, -(nn + 1), -(nn - 1), nn - 1, nn + 1],
+        format="csc")
+
+
+def _setup_scipy9(n, b, wave_num, const, alpha, gamma=2.0 / 3.0,
+                  problem="c1_f1", fidelity="corrected"):
+    """9-point assembly + SuperLU factorization of H_F9 and the H_m9
+    family — the independent complex128 oracle for the 9-point solver
+    (precond.sweeping9 is a DIFFERENT lineage: batched tridiagonal-
+    coupling Schur recursion; here every subgrid is a SuperLU solve,
+    exactly the reference's algo2_3 pattern, code.py:345-353)."""
+    import numpy as np
+    import scipy.sparse.linalg as spla
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from ..fd import problems as fd_problems
+    from ..fd import stencil as fd_stencil
+
+    omega = 2.0 * np.pi * wave_num + 1j * alpha
+    h = 1.0 / (n + 1)
+    eta = b * h
+    c_full, f_grid = fd_problems.PROBLEMS[problem](
+        jnp.complex128(omega), n, complex_dtype=jnp.complex128)
+    A9 = fd_stencil.build_a_stencil9(n, b, const, eta, omega, h, c_full,
+                                     gamma=gamma, fidelity=fidelity,
+                                     complex_dtype=jnp.complex128)
+    hm9 = fd_stencil.build_hm_stencils9(n, b, const, eta, omega, h, c_full,
+                                        gamma=gamma, fidelity=fidelity,
+                                        complex_dtype=jnp.complex128)
+    HF9 = fd_stencil.extract_hf_stencil9(A9, b)
+
+    lu_HF = spla.splu(_strip9_to_csc(HF9))
+    pick = lambda S, mi: type(S)(*[np.asarray(getattr(S, k))[mi] for k in
+                                   ("cc", "cw", "ce", "cs", "cn", "csw",
+                                    "cse", "cnw", "cne")])
+    lus = [spla.splu(_strip9_to_csc(pick(hm9, mi))) for mi in range(n - b)]
+    trip = lambda sub, dia, sup: (np.asarray(sub), np.asarray(dia),
+                                  np.asarray(sup))
+    a_lo = trip(A9.csw, A9.cs, A9.cse)       # each (L, n)
+    a_up = trip(A9.cnw, A9.cn, A9.cne)
+    f_vec = np.asarray(f_grid).reshape(-1)
+    A_sp = _strip9_to_csc(A9).tocsr()
+    return A_sp, f_vec, lu_HF, lus, a_lo, a_up
+
+
+def make_apply9(n, b, lu_HF, lus, a_lo, a_up):
+    """The 9-point Algorithm 2.4 sweep (tridiagonal inter-layer coupling
+    applications) as a flat-vector callable — complex128, SuperLU subgrid
+    solves.  Independent of precond.sweeping9 (VERDICT round 4 item 3:
+    the CPU-vs-TPU cross-check of the SAME implementation cannot catch an
+    implementation-level error common to both)."""
+    import numpy as np
+
+    L = n
+
+    def trimv(t, j, v):
+        sub, dia, sup = (c[j] for c in t)
+        y = dia * v
+        y = y.copy()
+        y[1:] += sub[1:] * v[:-1]
+        y[:-1] += sup[:-1] * v[1:]
+        return y
+
+    def corner_solve(k, v):
+        rhs = np.zeros(b * n, np.complex128)
+        rhs[-n:] = v
+        return lus[k].solve(rhs)[-n:]
+
+    def apply_m(f_vec):
+        u = f_vec.reshape(L, n).astype(np.complex128).copy()
+        TFuF = lu_HF.solve(u[:b].reshape(-1)).reshape(b, n)
+        u[b] -= trimv(a_lo, b, TFuF[b - 1])
+        for j in range(b + 1, L):                      # forward sweep
+            u[j] -= trimv(a_lo, j, corner_solve(j - 1 - b, u[j - 1]))
+        for j in range(L - 1, b - 1, -1):              # diag+backward fused
+            rhs = u[j] - (trimv(a_up, j, u[j + 1]) if j < L - 1 else 0.0)
+            u[j] = corner_solve(j - b, rhs)
+        rhs_f = np.zeros((b, n), np.complex128)
+        rhs_f[b - 1] = trimv(a_up, b - 1, u[b])
+        u[:b] = TFuF - lu_HF.solve(rhs_f.reshape(-1)).reshape(b, n)
+        return u.reshape(-1)
+
+    return apply_m
+
+
+def run_oracle9(n, b=None, wave_num=None, const=60.0, alpha=2.0,
+                gamma=2.0 / 3.0, rtols=(1e-3,), restart=20, maxiter=200):
+    """9-point oracle record(s): scipy GMRES + the SuperLU 9-point sweep.
+
+    Defaults follow the measured 9-point recipe (precond.sweeping9
+    docstring): b ~ n/14 (>= 12), C ~ 60."""
+    import numpy as np
+    import scipy.sparse.linalg as spla
+
+    wave_num = wave_num if wave_num is not None else (n + 1) / 8.0
+    if b is None:
+        b = max(12, -(-n // 14))
+
+    t0 = time.time()
+    A_sp, f_vec, lu_HF, lus, a_lo, a_up = _setup_scipy9(
+        n, b, wave_num, const, alpha, gamma)
+    setup_s = time.time() - t0
+    apply_m = make_apply9(n, b, lu_HF, lus, a_lo, a_up)
+    M = spla.LinearOperator(A_sp.shape, matvec=apply_m, dtype=np.complex128)
+
+    out = []
+    for rtol in rtols:
+        iters = 0
+
+        def cb(_pr_norm):
+            nonlocal iters
+            iters += 1
+
+        t0 = time.time()
+        x, info = spla.gmres(A_sp, f_vec, M=M, rtol=rtol, atol=0.0,
+                             restart=restart, maxiter=maxiter // restart,
+                             callback=cb, callback_type="pr_norm")
+        solve_s = time.time() - t0
+        true_res = float(np.linalg.norm(A_sp @ x - f_vec)
+                         / np.linalg.norm(f_vec))
+        rec = {"metric": f"oracle9_iters_n{n}_rtol{rtol:g}", "n": n, "b": b,
+               "stencil": "9pt", "stencil_gamma": gamma,
+               "wave_num": wave_num, "const": const, "rtol": rtol,
+               "iters": iters, "info": int(info), "true_residual": true_res,
+               "setup_s": round(setup_s, 1), "solve_s": round(solve_s, 1),
+               "dtype": "complex128", "impl": "scipy-superlu-9pt"}
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
 def run_oracle(n, b=12, wave_num=None, const=None, alpha=2.0,
                rtols=(1e-3, 1e-6), restart=20, maxiter=200):
     import numpy as np
@@ -152,12 +305,20 @@ def run_oracle(n, b=12, wave_num=None, const=None, alpha=2.0,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1023)
-    ap.add_argument("--b", type=int, default=12)
+    ap.add_argument("--b", type=int, default=None)
     ap.add_argument("--wave-num", type=float, default=None)
     ap.add_argument("--const", type=float, default=None)
     ap.add_argument("--rtols", type=float, nargs="+", default=[1e-3, 1e-6])
+    ap.add_argument("--stencil", default="5pt", choices=["5pt", "9pt"])
+    ap.add_argument("--gamma", type=float, default=2.0 / 3.0)
     args = ap.parse_args(argv)
-    run_oracle(args.n, args.b, args.wave_num, args.const, rtols=args.rtols)
+    if args.stencil == "9pt":
+        run_oracle9(args.n, args.b, args.wave_num,
+                    args.const if args.const is not None else 60.0,
+                    gamma=args.gamma, rtols=args.rtols)
+    else:
+        run_oracle(args.n, args.b if args.b is not None else 12,
+                   args.wave_num, args.const, rtols=args.rtols)
     return 0
 
 

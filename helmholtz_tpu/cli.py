@@ -199,7 +199,7 @@ def cmd_multisolve(args):
     source) solves per frequency, one JSON record per frequency.  With
     --checkpoint, completed frequencies are recorded and skipped when the
     sweep is restarted after a kill (solve.resumable.SweepCheckpoint)."""
-    from .driver import run_multisolve
+    from .driver import multisolve_key_config, run_multisolve
     from .solve.resumable import SweepCheckpoint
 
     ckpt = SweepCheckpoint(args.checkpoint or "")
@@ -210,8 +210,17 @@ def cmd_multisolve(args):
         ap_err = (f"--consts got {len(consts)} values for "
                   f"{len(args.freqs)} --freqs")
         raise SystemExit(ap_err)
-    template = {"n": args.n, "b": args.b, "problem": args.problem,
-                "rtol": args.rtol, "n_sources": args.multi_rhs}
+    # the FULL run-defining configuration (the same normalization
+    # run_multisolve stamps into every record), so a checkpoint written
+    # under a different stencil/preconditioner/precision never matches
+    template = multisolve_key_config(
+        args.n, args.b, args.problem, args.rtol, args.multi_rhs,
+        fidelity=args.fidelity, g_dtype=args.g_dtype,
+        factor_stride=args.factor_stride, g_compress=args.g_compress,
+        freq_anchor_every=args.freq_anchor_every,
+        precond=args.msolve_precond, stencil=args.stencil,
+        stencil_gamma=args.stencil_gamma, mesh_devices=args.mesh,
+        precision=args.precision, precond_refine=args.precond_refine)
     done = {SweepCheckpoint.key_of(r) for r in ckpt.matching(template)}
     ok = True
     for rec in ckpt.matching(template):

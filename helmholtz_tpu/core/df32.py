@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .sparse import Stencil5
+from .sparse import Stencil5, Stencil9
 
 def _split_const(dtype):
     # Dekker split constant 2^ceil(p/2) + 1 for a p-bit mantissa
@@ -165,6 +165,23 @@ def stencil_residual_comp(A: Stencil5, b: jax.Array, x: DF32) -> jax.Array:
     """
     fields = (A.cc, A.cw, A.ce, A.cs, A.cn)
     views = [(shift(x.hi), shift(x.lo)) for shift in _SHIFTS]
+    return _residual_comp_core(fields, b, views)
+
+
+def stencil9_residual_comp(A: Stencil9, b: jax.Array, x: DF32) -> jax.Array:
+    """r = b - A9 @ (x.hi + x.lo), compensated — `stencil_residual_comp`
+    for the 9-point footprint: the four corner couplings are composed
+    axis shifts (csw couples to u_{j-1,i-1} = shift_s(shift_w(u)), the
+    convention of ops.spmv.stencil9_matvec / driver._host_stencil9_matvec).
+    What lets the 9-point path reach rtol 1e-6 in f32 (ir-df32)."""
+    shifts9 = _SHIFTS + (
+        lambda u: _shift_s(_shift_w(u)),      # csw
+        lambda u: _shift_s(_shift_e(u)),      # cse
+        lambda u: _shift_n(_shift_w(u)),      # cnw
+        lambda u: _shift_n(_shift_e(u)),      # cne
+    )
+    fields = (A.cc, A.cw, A.ce, A.cs, A.cn, A.csw, A.cse, A.cnw, A.cne)
+    views = [(shift(x.hi), shift(x.lo)) for shift in shifts9]
     return _residual_comp_core(fields, b, views)
 
 

@@ -167,8 +167,8 @@ def _block_thomas_solve9(T, L9, U9, rhs):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["G", "TF", "hf_l", "hf_u", "a_l", "a_u"],
-    meta_fields=["b", "d2_replace"],
+    data_fields=["G", "TF", "hf_l", "hf_u", "a_l", "a_u", "g_w", "g_lo"],
+    meta_fields=["b", "d2_replace", "g_stride"],
 )
 @dataclasses.dataclass(frozen=True)
 class SweepingPreconditioner9:
@@ -190,6 +190,15 @@ class SweepingPreconditioner9:
     a_u: CArray
     b: int
     d2_replace: bool
+    # sample-compressed G (g_compress=True at setup — identical contract
+    # to the 5-point SweepingPreconditioner): G holds every g_stride-th
+    # corner inverse; logical step k applies
+    # g_w[k,0] * G[g_lo[k]] + g_w[k,1] * G[g_lo[k]+1].  g_stride = 0 ->
+    # dense.  The Pallas kernel composes the lerp with the tridiagonal
+    # coupling mode (ops.pallas.sweep takes g_lo/g_w alongside triple c).
+    g_w: jax.Array | None = None      # (M, 2) f32 bracketing weights
+    g_lo: jax.Array | None = None     # (M,) int32 lo sample index <= Ms-2
+    g_stride: int = 0
 
     @property
     def grid_shape(self):
@@ -208,13 +217,41 @@ def _coupling_triples(A: Stencil9):
     return lo, up
 
 
+def preconditioner_from_samples9(A: Stencil9, b: int, G_samples: CArray, *,
+                                 g_stride: int,
+                                 d2_replace: bool = True
+                                 ) -> SweepingPreconditioner9:
+    """Build the 9-point sweeping preconditioner from an ALREADY-FACTORED
+    stride-compressed sample stack (e.g. the omega-lerp of two anchor
+    frequencies' stacks — driver.run_multisolve freq_anchor_every) plus
+    the 9-point operator at the target frequency: only H_F9 is factored
+    here.  The omega-lerp is stencil-agnostic — G is still a stack of
+    dense corner inverses, as smooth in omega as in m — so this is the
+    exact 9-point mirror of `sweeping.preconditioner_from_samples`."""
+    from .sweeping import compress_tables
+
+    M = A.cc.shape[0] - b
+    g_w, g_lo = compress_tables(M, g_stride)
+    HF = fd_stencil.extract_hf_stencil9(A, b)
+    TF = _schur_t_stack9(HF)
+    hf_lo, hf_up = _coupling_triples(HF)
+    a_lo, a_up = _coupling_triples(A)
+    as_pair = lambda z: z if isinstance(z, CArray) else CArray.of(z)
+    return SweepingPreconditioner9(
+        G=as_pair(G_samples), TF=as_pair(TF),
+        hf_l=CArray.of(hf_lo), hf_u=CArray.of(hf_up),
+        a_l=CArray.of(a_lo), a_u=CArray.of(a_up),
+        b=b, d2_replace=d2_replace, g_w=g_w, g_lo=g_lo, g_stride=g_stride)
+
+
 def setup_preconditioner9(A: Stencil9, hm: Stencil9, b: int, *,
                           d2_replace: bool = True,
                           setup_chunk: int = 128,
                           pad_lanes: bool | None = None,
                           g_dtype=None,
                           factor_stride: int = 1,
-                          hm_sampled: bool = False
+                          hm_sampled: bool = False,
+                          g_compress: bool = False
                           ) -> SweepingPreconditioner9:
     """Factor the 9-point moving-PML preconditioner: H_F9 block-Thomas +
     the batched corner inverses of the 9-point subgrid family — the
@@ -225,8 +262,18 @@ def setup_preconditioner9(A: Stencil9, hm: Stencil9, b: int, *,
     `sample_positions(M, factor_stride)` (assembled via
     build_hm_stencils9's `rows` — the memory-lean path: the FULL 9-field
     family at production b does not fit HBM); the samples are factored
-    and lerp-expanded to the dense stack."""
-    from .sweeping import expand_strided_samples
+    and lerp-expanded to the dense stack.
+
+    `g_compress=True` (requires factor_stride > 1) stores ONLY the
+    sampled corner inverses plus per-step lerp tables instead of
+    expanding to the dense stack — the same capacity contract as the
+    5-point `setup_preconditioner(g_compress=True)` (at-rest factor
+    memory drops ~stride-fold; values identical to the expanded stack,
+    so iteration counts match it exactly).  Especially consequential
+    here: the 9-point scheme needs b ~ n/14 (module docstring), so its
+    dense G stack grows faster with n than the 5-point path's."""
+    from .sweeping import compress_tables, expand_strided_samples, \
+        sample_positions
 
     _, _, n = hm.cc.shape
     M = A.cc.shape[0] - b
@@ -234,16 +281,35 @@ def setup_preconditioner9(A: Stencil9, hm: Stencil9, b: int, *,
         pad_lanes = jax.default_backend() == "tpu"
     n_pad = (-(-n // 128) * 128) if pad_lanes else n
     g_dtype = g_dtype or hm.cc.real.dtype
+    g_w = g_lo = None
+    g_stride = 0
+    if g_compress and (factor_stride <= 1 or M <= factor_stride):
+        raise ValueError("g_compress requires factor_stride > 1 (and "
+                         "M > stride): the compressed layout stores the "
+                         "strided samples")
     if hm_sampled:
         if factor_stride <= 1:
             raise ValueError("hm_sampled requires factor_stride > 1")
-        wf = hm.cc.real.dtype
-        Ts = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=wf,
+        sample_dt = g_dtype if g_compress else hm.cc.real.dtype
+        Ts = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=sample_dt,
                                     setup_chunk=setup_chunk,
                                     corner_fn=_schur_corner_inverse9)
-        G = expand_strided_samples(Ts, M=M, stride=factor_stride,
-                                   g_dtype=g_dtype,
-                                   setup_chunk=setup_chunk)
+        if g_compress:
+            G = Ts
+            g_w, g_lo = compress_tables(M, factor_stride)
+            g_stride = factor_stride
+        else:
+            G = expand_strided_samples(Ts, M=M, stride=factor_stride,
+                                       g_dtype=g_dtype,
+                                       setup_chunk=setup_chunk)
+    elif g_compress:
+        pos = sample_positions(M, factor_stride)
+        hm_s = jax.tree.map(lambda f: f[jnp.asarray(pos)], hm)
+        G = factor_corner_inverses(hm_s, n_pad=n_pad, g_dtype=g_dtype,
+                                   setup_chunk=setup_chunk,
+                                   corner_fn=_schur_corner_inverse9)
+        g_w, g_lo = compress_tables(M, factor_stride)
+        g_stride = factor_stride
     else:
         G = factor_corner_inverses(hm, n_pad=n_pad, g_dtype=g_dtype,
                                    setup_chunk=setup_chunk,
@@ -259,7 +325,7 @@ def setup_preconditioner9(A: Stencil9, hm: Stencil9, b: int, *,
         G=as_pair(G), TF=as_pair(TF),
         hf_l=CArray.of(hf_lo), hf_u=CArray.of(hf_up),
         a_l=CArray.of(a_lo), a_u=CArray.of(a_up),
-        b=b, d2_replace=d2_replace)
+        b=b, d2_replace=d2_replace, g_w=g_w, g_lo=g_lo, g_stride=g_stride)
 
 
 def apply_preconditioner9(P: SweepingPreconditioner9,
@@ -311,21 +377,33 @@ def apply_preconditioner9(P: SweepingPreconditioner9,
 
         interp = jax.default_backend() == "cpu"
         rows_tri = lambda z, sl: CArray(z.re[sl], z.im[sl])   # (S, 3, n)
+        ck = dict(interpret=interp, g_lo=P.g_lo, g_w=P.g_w)
         if M_total > 1:
             u_fwd = pallas_sweep(
                 P.G, CArray.of(u[b + 1:]),
                 rows_tri(P.a_l, slice(b + 1, None)),
-                CArray.of(u[b]), mode="fwd", interpret=interp)
+                CArray.of(u[b]), mode="fwd", **ck)
             u = jnp.concatenate([u[:b + 1], u_fwd.cplx], axis=0)
         u_bwd = pallas_sweep(
             P.G, CArray.of(u[b:]), CArray.of(a_u_top0),
             CArray.of(jnp.zeros_like(u[-1])),
-            mode=("bwd" if P.d2_replace else "bwd_sub"), interpret=interp)
+            mode=("bwd" if P.d2_replace else "bwd_sub"), **ck)
         u = jnp.concatenate([u[:b], u_bwd.cplx], axis=0)
     else:
         ks = jnp.arange(M_total - 1)
 
         def g_row(k):
+            if P.g_stride:
+                # sample-compressed G: f32 weights / accumulation exactly
+                # like the 5-point XLA fallback (precond.sweeping g_row)
+                wdt = jnp.promote_types(Gre.dtype, jnp.float32)
+                lo = P.g_lo[k]
+                w0 = P.g_w[k, 0].astype(wdt)
+                w1 = P.g_w[k, 1].astype(wdt)
+                pick = lambda g, i: jax.lax.dynamic_index_in_dim(
+                    g, i, 0, keepdims=False).astype(wdt)
+                return (w0 * pick(Gre, lo) + w1 * pick(Gre, lo + 1),
+                        w0 * pick(Gim, lo) + w1 * pick(Gim, lo + 1))
             return (jax.lax.dynamic_index_in_dim(Gre, k, 0,
                                                  keepdims=False),
                     jax.lax.dynamic_index_in_dim(Gim, k, 0,
@@ -406,16 +484,17 @@ def apply_preconditioner9_multi(P: SweepingPreconditioner9, F: jax.Array,
     M_total = L - b
     a_u_top0 = jnp.concatenate([a_u[b:-1], jnp.zeros_like(a_u[-1:])],
                                axis=0)
+    ck = dict(interpret=interp, g_lo=P.g_lo, g_w=P.g_w)
     if M_total > 1:
         u_fwd = pallas_sweep(
             P.G, to_sbn(u[:, b + 1:]), rows_tri(P.a_l, slice(b + 1, None)),
-            CArray.of(u[:, b]), mode="fwd", interpret=interp)
+            CArray.of(u[:, b]), mode="fwd", **ck)
         u = jnp.concatenate(
             [u[:, :b + 1], jnp.swapaxes(u_fwd.cplx, 0, 1)], axis=1)
     u_bwd = pallas_sweep(
         P.G, to_sbn(u[:, b:]), CArray.of(a_u_top0),
         CArray.of(jnp.zeros_like(u[:, -1])),
-        mode=("bwd" if P.d2_replace else "bwd_sub"), interpret=interp)
+        mode=("bwd" if P.d2_replace else "bwd_sub"), **ck)
     u = jnp.concatenate([u[:, :b], jnp.swapaxes(u_bwd.cplx, 0, 1)], axis=1)
 
     rhs = jnp.zeros_like(TFuF).at[:, b - 1].set(jax.vmap(

@@ -101,13 +101,22 @@ def resumable_gmres(matvec: Callable, b, *, M: Optional[Callable] = None,
 class SweepCheckpoint:
     """Per-frequency progress record for multi-frequency sweeps.
 
-    Records key on the FULL solve configuration (grid, PML width, problem,
-    frequency, C, tolerance, batch size) — a resumed sweep with a changed
-    rtol / source count / problem re-solves instead of silently replaying a
-    stale record, and records from other configs sharing the file are
-    ignored via `matching`."""
+    Records key on the FULL solve configuration — grid, PML width, problem,
+    frequency, C, tolerance, batch size, AND every solver-defining knob
+    (stencil/gamma, preconditioner, precision/refine, G dtype/stride/
+    compression, anchor spacing, mesh) — so a resumed sweep with ANY
+    changed configuration re-solves instead of silently replaying a record
+    computed under a different discretization or path (advisor round 4).
+    The authoritative template comes from `driver.multisolve_key_config`;
+    records from other configs sharing the file are ignored via
+    `matching`.  Records written before round 5 lack the new keys and
+    therefore never match a new template — they re-solve, which is the
+    safe direction."""
 
-    _KEY = ("n", "b", "problem", "wave_num", "const", "rtol", "n_sources")
+    _KEY = ("n", "b", "problem", "wave_num", "const", "rtol", "n_sources",
+            "fidelity", "stencil", "stencil_gamma", "precond", "precision",
+            "precond_refine", "g_dtype", "factor_stride", "g_compress",
+            "freq_anchor_every", "mesh_devices")
 
     def __init__(self, path: str):
         self.path = path

@@ -178,6 +178,27 @@ def test_apply9_pallas_matches_xla():
                                rtol=5e-5, atol=5e-5 * scale2)
 
 
+def test_apply9_pallas_matches_xla_unpadded_wrap():
+    """n a multiple of 128 (n_pad == n, no zero pad lanes): the kernel's
+    tridiagonal lane rolls wrap REAL row data, so correctness rests solely
+    on the assembly-masked edge coefficients killing the wrapped elements
+    (advisor round 4 — the n=31 case only ever rolled into zero pads)."""
+    from helmholtz_tpu.precond.sweeping9 import (apply_preconditioner9,
+                                                 setup_preconditioner9)
+
+    A9, hm9, _ = _setup9(n=128, b=6)
+    P = setup_preconditioner9(A9, hm9, 6, pad_lanes=True)
+    assert P.G.re.shape[-1] == 128 == A9.cc.shape[-1]   # unpadded layout
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((128, 128))
+                    + 1j * rng.standard_normal((128, 128)))
+    ref = apply_preconditioner9(P, x, impl="xla")
+    got = apply_preconditioner9(P, x, impl="pallas")
+    scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5 * scale)
+
+
 def test_apply9_batched_matches_single():
     """Batched 9-point apply (one G stream for the whole batch through
     the tridiagonal Pallas kernel) == per-RHS single applies."""
@@ -198,6 +219,170 @@ def test_apply9_batched_matches_single():
     scale = float(np.abs(np.asarray(ref)).max())
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-5, atol=5e-5 * scale)
+
+
+def test_run_solver_9pt_g_compress_matches_dense_strided():
+    """g_compress for the 9-point path (round 5 island burn-down item a):
+    the compressed sample-panel storage applies the SAME interpolant as
+    the expanded strided stack, so iteration counts match exactly."""
+    from helmholtz_tpu.driver import run_solver
+
+    r_dense = run_solver(63, 12, 4.0, 61.0, stencil="9pt", rtol=1e-3,
+                         maxiter=60, factor_stride=4)
+    r_comp = run_solver(63, 12, 4.0, 61.0, stencil="9pt", rtol=1e-3,
+                        maxiter=60, factor_stride=4, g_compress=True)
+    assert r_comp.converged
+    assert r_comp.config["g_compress"] is True
+    assert r_comp.iterations == r_dense.iterations
+    assert abs(r_comp.true_residual - r_dense.true_residual) < 1e-6
+
+
+def test_setup9_g_compress_stores_samples_only():
+    A9, hm9, _ = _setup9(n=31, b=6)
+    from helmholtz_tpu.precond.sweeping9 import (apply_preconditioner9,
+                                                 setup_preconditioner9)
+
+    Pd = setup_preconditioner9(A9, hm9, 6, pad_lanes=False, factor_stride=4)
+    Pc = setup_preconditioner9(A9, hm9, 6, pad_lanes=False, factor_stride=4,
+                               g_compress=True)
+    M = 31 - 6
+    assert Pd.G.re.shape[0] == M
+    assert Pc.G.re.shape[0] == (M - 1) // 4 + 2       # sample stack only
+    assert Pc.g_stride == 4
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((31, 31))
+                    + 1j * rng.standard_normal((31, 31)))
+    ref = apply_preconditioner9(Pd, x, impl="xla")
+    got = apply_preconditioner9(Pc, x, impl="xla")
+    scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5 * scale)
+
+
+def test_stencil9_residual_comp_tracks_oracle():
+    """Compensated 9-point residual in complex64 must track the complex128
+    oracle far below the plain-f32 cancellation floor."""
+    import jax
+
+    from helmholtz_tpu.core.df32 import DF32, stencil9_residual_comp
+    from helmholtz_tpu.driver import _host_stencil9_matvec
+    from helmholtz_tpu.core.complexlib import pairify, tree_to_np
+
+    n = 31
+    omega = 2 * jnp.pi * 4.0 + 2j
+    h = 1.0 / (n + 1)
+    c_full, f = fd_problems.PROBLEMS["c1_f1"](omega, n,
+                                              complex_dtype=jnp.complex64)
+    A9 = build_a_stencil9(n, 6, 30.0, 6 * h, jnp.complex64(omega), h,
+                          c_full, fidelity="corrected",
+                          complex_dtype=jnp.complex64)
+    A_np = tree_to_np(pairify(A9))
+    rng = np.random.default_rng(11)
+    x64 = (rng.standard_normal((n, n))
+           + 1j * rng.standard_normal((n, n))).astype(np.complex128)
+    b64 = _host_stencil9_matvec(
+        jax.tree.map(lambda a: a.astype(np.complex128), A_np), x64) \
+        + 1e-5 * (rng.standard_normal((n, n)))
+    x_hi = x64.astype(np.complex64)
+    x_lo = (x64 - x_hi.astype(np.complex128)).astype(np.complex64)
+    b32 = b64.astype(np.complex64)
+    # complex128 oracle of the same rounded inputs
+    r_ref = b32.astype(np.complex128) - _host_stencil9_matvec(
+        jax.tree.map(lambda a: a.astype(np.complex128), A_np),
+        x_hi.astype(np.complex128) + x_lo.astype(np.complex128))
+    got = np.asarray(stencil9_residual_comp(
+        A9, jnp.asarray(b32), DF32(jnp.asarray(x_hi), jnp.asarray(x_lo))))
+    scale = float(np.abs(b64).max())
+    # plain f32 evaluation for contrast
+    plain = np.asarray(b32 - np.asarray(_host_stencil9_matvec(
+        A_np, x_hi + x_lo), np.complex64))
+    err_comp = np.abs(got - r_ref).max() / scale
+    err_plain = np.abs(plain - r_ref).max() / scale
+    assert err_comp < 3e-7
+    assert err_comp < err_plain
+
+
+def test_run_solver_9pt_ir_df32_and_refine():
+    """ir-df32 + precond_refine on the 9-point path (island burn-down
+    item b): reaches a tight tolerance with a true residual to match."""
+    from helmholtz_tpu.driver import run_solver
+
+    r = run_solver(63, 12, 4.0, 61.0, stencil="9pt", rtol=1e-6,
+                   maxiter=80, precision="ir-df32", precond_refine=1,
+                   complex_dtype=jnp.complex64)
+    assert r.converged
+    assert r.true_residual < 1e-5
+    assert r.config["precision"] == "ir-df32"
+    assert r.config["precond_refine"] == 1
+
+
+def test_run_solver_9pt_thin_pml_refused():
+    """The b ~ n/14 recipe is enforced, not a docstring: the 5-point
+    default b=12 at n=511 is refused noisily (VERDICT round 4 Weak #2),
+    with an explicit opt-out."""
+    import os
+
+    import pytest
+
+    from helmholtz_tpu.driver import min_pml_width9, run_solver
+
+    assert min_pml_width9(63) == 12          # reference scales unaffected
+    assert min_pml_width9(511) == 37
+    with pytest.raises(ValueError, match="n/14"):
+        run_solver(511, 12, 64.0, 60.0, stencil="9pt")
+    from helmholtz_tpu.driver import run_multisolve
+    with pytest.raises(ValueError, match="n/14"):
+        run_multisolve(511, 12, [64.0], stencil="9pt")
+    os.environ["HELMHOLTZ_TPU_9PT_ALLOW_THIN_PML"] = "1"
+    try:
+        # opt-out reaches the solver (tiny budget — we only check that the
+        # guard stands aside, not convergence)
+        r = run_solver(255, 12, 8.0, 60.0, stencil="9pt", rtol=1e-3,
+                       maxiter=1)
+        assert not r.converged or r.iterations <= 1
+    finally:
+        del os.environ["HELMHOLTZ_TPU_9PT_ALLOW_THIN_PML"]
+
+
+def test_multisolve_9pt_freq_amortized_matches_exact_setup():
+    """Omega-amortized 9-point sweep (island burn-down item c): the lerp
+    of anchor sample stacks is stencil-agnostic; iteration counts match
+    the per-frequency-refactored 9-point sweep within +-1."""
+    from helmholtz_tpu.driver import run_multisolve
+
+    freqs = [4.0, 4.05, 4.1, 4.15, 4.2]
+    kw = dict(consts=[61.0], n_sources=2, rtol=1e-3, maxiter=60,
+              factor_stride=4, g_compress=True, stencil="9pt")
+    base = run_multisolve(63, 12, freqs, **kw)
+    amort = run_multisolve(63, 12, freqs, freq_anchor_every=4, **kw)
+    modes = [r["setup_mode"] for r in amort]
+    assert modes == ["factor", "omega_lerp", "omega_lerp", "omega_lerp",
+                     "factor"]
+    for rb, ra in zip(base, amort):
+        assert ra["converged"] == [True, True]
+        assert ra["stencil"] == "9pt"
+        assert all(r < 1e-2 for r in ra["true_residuals"])
+        for ib, ia in zip(rb["iterations"], ra["iterations"]):
+            assert abs(ia - ib) <= 1, (rb["wave_num"], ib, ia)
+
+
+def test_9pt_iteration_parity_vs_scipy_oracle():
+    """Iteration parity against the INDEPENDENT scipy/SuperLU 9-point
+    oracle (bench.ref_oracle.run_oracle9 — a different lineage: per-m
+    SuperLU subgrid solves vs the framework's batched tridiagonal Schur
+    recursion), pinning the 9-point solver the way ORACLE.json pins the
+    5-point path (VERDICT round 4 item 3)."""
+    from helmholtz_tpu.bench.ref_oracle import run_oracle9
+    from helmholtz_tpu.driver import run_solver
+
+    [orec] = run_oracle9(63, b=12, wave_num=4.0, const=61.0, rtols=(1e-3,),
+                         maxiter=60)
+    assert orec["info"] == 0 and orec["true_residual"] < 1e-2
+    r = run_solver(63, 12, 4.0, 61.0, stencil="9pt", rtol=1e-3, maxiter=60,
+                   factor_stride=1)
+    assert r.converged
+    assert abs(r.iterations - orec["iters"]) <= 1, \
+        (r.iterations, orec["iters"])
 
 
 def test_multisolve_9pt_batched_sources():
