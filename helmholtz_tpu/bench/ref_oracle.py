@@ -169,7 +169,11 @@ def _setup_scipy9(n, b, wave_num, const, alpha, gamma=2.0 / 3.0,
                                   np.asarray(sup))
     a_lo = trip(A9.csw, A9.cs, A9.cse)       # each (L, n)
     a_up = trip(A9.cnw, A9.cn, A9.cne)
-    f_vec = np.asarray(f_grid).reshape(-1)
+    # the compact scheme solves A9 u = M f (Mehrstellen RHS filter —
+    # same as the framework's driver path)
+    f_flt = fd_stencil.mass_filter9(n, b, const, eta, omega, h,
+                                    f_grid.astype(jnp.complex128))
+    f_vec = np.asarray(f_flt).reshape(-1)
     A_sp = _strip9_to_csc(A9).tocsr()
     return A_sp, f_vec, lu_HF, lus, a_lo, a_up
 

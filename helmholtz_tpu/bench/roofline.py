@@ -173,6 +173,135 @@ def measure_spmv(n: int = 1023, use_pallas: bool = True) -> dict:
     }
 
 
+def measure_setup(n: int = 1023, b: int = 12, *, factor_stride: int | None
+                  = None, g_dtype: str = "bf16",
+                  setup_chunk: int = 128) -> dict:
+    """Setup-phase breakdown + speed-of-light accounting (VERDICT round 4
+    task 4: setup dominates every flagship wall — 15.6 s warm init vs
+    1.8 s solve at n=2047 — and had no roofline of its own).
+
+    Phases timed warm (jit caches populated) on the live chip:
+      * assembly — the whole-grid A + subgrid-family materialization;
+      * factor_samples — the batched Schur corner-inverse recursion over
+        the strided samples (the flops giant);
+      * expand — the lerp-expansion of samples to the dense stack
+        (HBM-bound: writes the full G);
+      * hf — the H_F block-Thomas stack.
+
+    Speed-of-light models:
+      * the Schur recursion's flops are Ms * b * (GJ + update) where a
+        blocked Gauss-Jordan inverse of an (n, n) complex matrix costs
+        ~8 n^3 real MACs = 16 n^3 flops (ops.dense) and the row/column
+        scaling update ~4 n^2 complex MACs; fraction vs the MEASURED f32
+        matmul rate (the MXU ceiling a perfectly-scheduled GJ could
+        reach; GJ's panel dependencies keep real fractions below it);
+      * the expand phase's traffic is read Ms + write M panels (split-
+        real); fraction vs measured streaming bandwidth.
+    """
+    from ..driver import _assemble_stage, auto_factor_stride
+    from ..core.complexlib import complexify
+    from ..fd import stencil as fd_stencil
+    from ..precond.sweeping import (_schur_t_stack, expand_strided_samples,
+                                    factor_corner_inverses,
+                                    sample_positions)
+
+    wf = jnp.result_type(float)
+    cdtype = jnp.complex64 if wf == jnp.float32 else jnp.complex128
+    if factor_stride is None:
+        factor_stride = auto_factor_stride(n, "c1_f1")
+    R = max(1, factor_stride)
+    gdt = {"working": wf, "f32": jnp.float32,
+           "bf16": jnp.bfloat16}[g_dtype]
+    n_pad = ((-(-n // 128) * 128)
+             if jax.default_backend() == "tpu" else n)
+    M = n - b
+    pos = sample_positions(M, R) if R > 1 else np.arange(M)
+    Ms = len(pos)
+
+    def wall(fn, *args, reps=2):
+        """Warm wall-clock of one jitted call (median of reps)."""
+        out = fn(*args)
+        _sync(out)                      # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            _sync(out)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), out
+
+    # --- assembly ---------------------------------------------------------
+    def assemble(wn, C, al):
+        return _assemble_stage(wn, C, al, n=n, b=b, problem="c1_f1",
+                               fidelity="corrected", cdtype=cdtype)
+    wn = jnp.asarray((n + 1) / 8.0, wf)
+    C = jnp.asarray(100.0, wf)
+    al = jnp.asarray(2.0, wf)
+    t_asm, ((A_pair, hm_pair, _), _) = wall(assemble, wn, C, al)
+
+    # --- factor samples (the Schur recursion) -----------------------------
+    @jax.jit
+    def factor_samples(hm_p):
+        hm = complexify(hm_p)
+        hm_s = jax.tree.map(lambda f: f[jnp.asarray(pos)], hm) \
+            if R > 1 else hm
+        return factor_corner_inverses(hm_s, n_pad=n_pad, g_dtype=wf,
+                                      setup_chunk=setup_chunk)
+    t_fac, Ts = wall(factor_samples, hm_pair)
+
+    # --- expand -----------------------------------------------------------
+    if R > 1:
+        @jax.jit
+        def expand(ts):
+            return expand_strided_samples(ts, M=M, stride=R, g_dtype=gdt,
+                                          setup_chunk=setup_chunk)
+        t_exp, _ = wall(expand, Ts)
+    else:
+        t_exp = 0.0
+
+    # --- H_F --------------------------------------------------------------
+    @jax.jit
+    def hf(A_p):
+        A = complexify(A_p)
+        HF = fd_stencil.extract_hf_stencil(A, b)
+        return _schur_t_stack(HF)
+    t_hf, _ = wall(hf, A_pair)
+
+    # --- models -----------------------------------------------------------
+    gj_flops = 16.0 * n ** 3            # complex GJ inverse, real flops
+    upd_flops = 8.0 * n ** 2
+    model_tflop = Ms * b * (gj_flops + upd_flops) / 1e12
+    mxu_tflops = measure_matmul_tflops()
+    frac_factor = (model_tflop / max(t_fac, 1e-9)) / mxu_tflops
+
+    item = np.dtype(gdt).itemsize
+    exp_gb = 2 * (Ms * 4 + M * item) * n_pad * n_pad / 1e9  # read f32 + write
+    bw_stream = measure_streaming_bw()
+    frac_exp = ((exp_gb / max(t_exp, 1e-9)) / bw_stream
+                if t_exp else None)
+
+    total = t_asm + t_fac + t_exp + t_hf
+    return {
+        "kernel": "setup_phases", "n": n, "b": b,
+        "factor_stride": R, "samples": int(Ms), "g_dtype": g_dtype,
+        "assembly_s": round(t_asm, 3),
+        "factor_samples_s": round(t_fac, 3),
+        "expand_s": round(t_exp, 3),
+        "hf_s": round(t_hf, 3),
+        "total_warm_s": round(total, 3),
+        "factor_model_tflop": round(model_tflop, 3),
+        "factor_effective_tflops": round(model_tflop / max(t_fac, 1e-9), 2),
+        "measured_matmul_tflops": round(mxu_tflops, 2),
+        "roofline_fraction": frac_factor,
+        "expand_gb": round(exp_gb, 3),
+        "expand_fraction": frac_exp,
+        "traffic_model": "factor fraction = Schur-recursion flop model "
+                         "(Ms*b GJ inverses at 16n^3 real flops) vs "
+                         "measured f32 matmul peak; expand fraction = "
+                         "(read samples + write dense G) vs streaming bw",
+    }
+
+
 def measure_sweep(n: int = 1023, b: int = 12, g_dtype: str = "working") -> dict:
     """Preconditioner-apply throughput vs the G-stack streaming roofline.
 

@@ -221,3 +221,45 @@ def halo_stencil_residual_comp(A_local: Stencil5, b_local: jax.Array,
     ]
     fields = (A_local.cc, A_local.cw, A_local.ce, A_local.cs, A_local.cn)
     return _residual_comp_core(fields, b_local, views)
+
+
+def halo_stencil9_residual_comp(A_local: Stencil9, b_local: jax.Array,
+                                x: DF32, axis_name: str,
+                                n_devices: int) -> jax.Array:
+    """Row-sharded compensated 9-POINT residual inside shard_map — the
+    distributed ir-df32 leg of the 9-point path.  The corner couplings
+    need only within-row shifts of the SAME single halo row per direction
+    (dist.spmv.halo_stencil9_matvec), so the exchange is unchanged: one
+    (hi, lo)-stacked row up, one down."""
+    up_perm = [(i, i + 1) for i in range(n_devices - 1)]
+    down_perm = [(i, i - 1) for i in range(1, n_devices)]
+
+    edge_lo = jnp.stack([x.hi[-1], x.lo[-1]])
+    edge_hi = jnp.stack([x.hi[0], x.lo[0]])
+    below = jax.lax.ppermute(edge_lo, axis_name, up_perm)
+    above = jax.lax.ppermute(edge_hi, axis_name, down_perm)
+
+    def ext(u, lo_row, hi_row):
+        return jnp.concatenate([lo_row[None], u, hi_row[None]], axis=0)
+
+    xe_hi = ext(x.hi, below[0], above[0])
+    xe_lo = ext(x.lo, below[1], above[1])
+    pair = lambda sl: (xe_hi[sl], xe_lo[sl])
+    shift_pair = lambda shift, p: (shift(p[0]), shift(p[1]))
+    center = pair(slice(1, -1))
+    south = pair(slice(None, -2))
+    north = pair(slice(2, None))
+    views = [
+        center,
+        shift_pair(_shift_w, center),
+        shift_pair(_shift_e, center),
+        south,
+        north,
+        shift_pair(_shift_w, south),        # csw -> u[j-1, i-1]
+        shift_pair(_shift_e, south),        # cse
+        shift_pair(_shift_w, north),        # cnw
+        shift_pair(_shift_e, north),        # cne
+    ]
+    fields = (A_local.cc, A_local.cw, A_local.ce, A_local.cs, A_local.cn,
+              A_local.csw, A_local.cse, A_local.cnw, A_local.cne)
+    return _residual_comp_core(fields, b_local, views)

@@ -74,6 +74,55 @@ class DistSweepState:
     g_stride: int = 0
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["G_pad", "TF", "hf_l", "hf_u", "a_l", "a_u",
+                 "g_w", "g_lo"],
+    meta_fields=["b", "d2_replace", "g_stride"],
+)
+@dataclasses.dataclass(frozen=True)
+class DistSweepState9:
+    """Row-aligned distributed 9-POINT preconditioner state — the
+    `DistSweepState` layout with TRIDIAGONAL inter-layer couplings:
+    coupling triples [sub, diag, sup] stacked (.., 3, n) replace the
+    diagonal coupling rows (precond.sweeping9 docstring).  G_pad keeps
+    the identical row-aligned / sample-compressed contract."""
+
+    G_pad: CArray    # dense: (L, n_pad, n_pad); compressed: sample shards
+    TF: CArray       # (b, n, n), replicated (9-point block-Thomas stack)
+    hf_l: CArray     # (b, 3, n), replicated
+    hf_u: CArray     # (b, 3, n), replicated
+    a_l: CArray      # (L, 3, n), row-sharded
+    a_u: CArray      # (L, 3, n), row-sharded
+    b: int
+    d2_replace: bool
+    g_w: jax.Array | None = None   # (L, 2) f32, row-sharded
+    g_lo: jax.Array | None = None  # (L,) int32 LOCAL lo sample index
+    g_stride: int = 0
+
+
+def state_partition_specs(state, axis_name: str = LAYER_AXIS):
+    """The PartitionSpec tree of a DistSweepState / DistSweepState9: G and
+    the global coupling rows are row-sharded, the H_F factors replicated —
+    one source for dist.solve's in_specs and dist.factor's out_specs."""
+    from jax.sharding import PartitionSpec as P
+
+    row = P(axis_name)
+    repl = P()
+    shard_fields = {"G_pad", "a_cs", "a_cn", "a_l", "a_u", "g_w", "g_lo"}
+    kw = {}
+    for fld in dataclasses.fields(state):
+        v = getattr(state, fld.name)
+        if fld.name in ("b", "d2_replace", "g_stride"):
+            kw[fld.name] = v
+        elif v is None:
+            kw[fld.name] = None
+        else:
+            spec = row if fld.name in shard_fields else repl
+            kw[fld.name] = jax.tree.map(lambda _: spec, v)
+    return type(state)(**kw)
+
+
 def dist_state_from_preconditioner(P_: SweepingPreconditioner,
                                    n_devices: int | None = None
                                    ) -> DistSweepState:
@@ -145,12 +194,13 @@ def row_sharding(mesh: Mesh, ndims: int, axis_name: str = LAYER_AXIS):
     return NamedSharding(mesh, P(axis_name, *([None] * (ndims - 1))))
 
 
-def shard_problem(mesh: Mesh, A: Stencil5, state: DistSweepState,
-                  f_grid: jax.Array, axis_name: str = LAYER_AXIS,
-                  f_axis: int = 0):
+def shard_problem(mesh: Mesh, A, state, f_grid: jax.Array,
+                  axis_name: str = LAYER_AXIS, f_axis: int = 0):
     """Place the problem on the mesh: row-shard A/f/G/couplings, replicate
-    the H_F factors.  `f_axis` is the grid-row axis of f_grid (1 for a
-    batched (B, L, n) right-hand side).
+    the H_F factors — generic over the stencil footprint (Stencil5 +
+    DistSweepState or Stencil9 + DistSweepState9; field roles come from
+    `state_partition_specs`).  `f_axis` is the grid-row axis of f_grid
+    (1 for a batched (B, L, n) right-hand side).
 
     Complex leaves (the stencil fields, the RHS) are converted to
     split-real CArray pairs BEFORE device placement: complex buffers may
@@ -158,24 +208,23 @@ def shard_problem(mesh: Mesh, A: Stencil5, state: DistSweepState,
     bodies complexify on entry."""
     from ..core.complexlib import pairify
 
-    shard_rows = lambda x: jax.device_put(
-        x, row_sharding(mesh, x.ndim, axis_name))
-    repl = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
     A = pairify(A)
     f_grid = pairify(f_grid)
 
+    shard_rows = lambda x: jax.device_put(
+        x, row_sharding(mesh, x.ndim, axis_name))
     A_sh = jax.tree.map(shard_rows, A)
-    state_sh = DistSweepState(
-        G_pad=jax.tree.map(shard_rows, state.G_pad),
-        TF=jax.tree.map(repl, state.TF),
-        hf_cs=jax.tree.map(repl, state.hf_cs),
-        hf_cn=jax.tree.map(repl, state.hf_cn),
-        a_cs=jax.tree.map(shard_rows, state.a_cs),
-        a_cn=jax.tree.map(shard_rows, state.a_cn),
-        b=state.b, d2_replace=state.d2_replace,
-        g_w=None if state.g_w is None else shard_rows(state.g_w),
-        g_lo=None if state.g_lo is None else shard_rows(state.g_lo),
-        g_stride=state.g_stride)
+    specs = state_partition_specs(state, axis_name)
+    state_sh = type(state)(**{
+        fld.name: (getattr(state, fld.name)
+                   if fld.name in ("b", "d2_replace", "g_stride")
+                   or getattr(state, fld.name) is None
+                   else jax.tree.map(
+                       lambda x, s: jax.device_put(
+                           x, NamedSharding(mesh, s)),
+                       getattr(state, fld.name),
+                       getattr(specs, fld.name)))
+        for fld in dataclasses.fields(state)})
     f_ndim = (f_grid.re if isinstance(f_grid, CArray) else f_grid).ndim
     f_spec = P(*([None] * f_axis), axis_name,
                *([None] * (f_ndim - f_axis - 1)))

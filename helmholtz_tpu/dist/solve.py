@@ -17,16 +17,18 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.complexlib import complexify, pairify
-from ..core.sparse import Stencil5
+from ..core.sparse import Stencil5, Stencil9
 from ..solve.gmres import KrylovResult, gmres
-from .partition import LAYER_AXIS, DistSweepState, shard_problem
-from .spmv import halo_stencil_matvec
-from .sweep import dist_apply_preconditioner
+from .partition import (LAYER_AXIS, DistSweepState, DistSweepState9,
+                        shard_problem, state_partition_specs)
+from .spmv import halo_stencil9_matvec, halo_stencil_matvec
+from .sweep import dist_apply_preconditioner, dist_apply_preconditioner9
 
 _SOLVE_CACHE: dict = {}
 
 
-def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
+def distributed_solve(mesh: Mesh, A: Stencil5 | Stencil9,
+                      state: DistSweepState | DistSweepState9 | None,
                       f_grid: jax.Array, *, rtol: float = 1e-3,
                       restart: int = 20, maxiter: int = 200,
                       axis_name: str = LAYER_AXIS,
@@ -68,6 +70,7 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
     from ..core.complexlib import CArray
     f_leaf = f_grid.re if isinstance(f_grid, CArray) else f_grid
     batched = f_leaf.ndim == 3
+    nine = isinstance(A, Stencil9)
 
     A_sh, state_sh, f_sh = shard_problem(
         mesh, A, state if use_precond else _empty_state(A), f_grid,
@@ -78,7 +81,7 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
     # static configuration so repeat calls do not retrace/recompile
     # (jax.jit keys on function identity, and local_solve is a fresh
     # closure per call).
-    cache_key = (mesh, axis_name, L, n, ndev, use_precond, batched,
+    cache_key = (mesh, axis_name, L, n, ndev, use_precond, batched, nine,
                  f_grid.shape, str(f_grid.dtype), str(A.cc.dtype),
                  state_sh.b, state_sh.d2_replace, state_sh.g_stride,
                  restart, float(rtol),
@@ -88,6 +91,10 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
     if cached is not None:
         return cached(A_sh, state_sh, f_sh)
 
+    halo_mv = halo_stencil9_matvec if nine else halo_stencil_matvec
+    apply_fn = (dist_apply_preconditioner9 if nine
+                else dist_apply_preconditioner)
+
     def local_solve(A_pair, S_loc, f_pair):
         # pairs at rest, complex in flight (core.complexlib): inputs arrive
         # as split-real shards, outputs leave as split-real shards
@@ -95,13 +102,13 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
         f_loc = complexify(f_pair)
 
         def matvec(v):
-            return halo_stencil_matvec(
+            return halo_mv(
                 A_loc, v.reshape(n_loc, n), axis_name, ndev).reshape(-1)
 
         M = None
         if use_precond:
             def apply_one(v):
-                return dist_apply_preconditioner(
+                return apply_fn(
                     S_loc, v.reshape(n_loc, n), axis_name=axis_name,
                     n_devices=ndev, n_rows_global=L,
                     impl=sweep_impl).reshape(-1)
@@ -115,7 +122,7 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
                 @jax.custom_batching.custom_vmap
                 def M_impl(v, *leaves):
                     S_ = jax.tree.unflatten(s_tree, leaves)
-                    return dist_apply_preconditioner(
+                    return apply_fn(
                         S_, v.reshape(n_loc, n), axis_name=axis_name,
                         n_devices=ndev, n_rows_global=L,
                         impl=sweep_impl).reshape(-1)
@@ -123,7 +130,7 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
                 @M_impl.def_vmap
                 def _rule(axis_size, in_batched, v, *leaves):
                     S_ = jax.tree.unflatten(s_tree, leaves)
-                    out = dist_apply_preconditioner(
+                    out = apply_fn(
                         S_, v.reshape(axis_size, n_loc, n),
                         axis_name=axis_name, n_devices=ndev,
                         n_rows_global=L, impl=sweep_impl)
@@ -147,12 +154,16 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
                     return u
 
         if precision == "ir-df32":
-            from ..core.df32 import DF32, halo_stencil_residual_comp
+            from ..core.df32 import (DF32, halo_stencil9_residual_comp,
+                                     halo_stencil_residual_comp)
             from ..solve.ir import ir_gmres
+
+            halo_rc = (halo_stencil9_residual_comp if nine
+                       else halo_stencil_residual_comp)
 
             def solver(f):
                 def residual_comp(x):
-                    r = halo_stencil_residual_comp(
+                    r = halo_rc(
                         A_loc, f.reshape(n_loc, n),
                         DF32(x.hi.reshape(n_loc, n), x.lo.reshape(n_loc, n)),
                         axis_name, ndev)
@@ -176,17 +187,7 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
     repl = P()
     in_specs = (
         jax.tree.map(lambda _: P(axis_name), A_sh),
-        DistSweepState(
-            G_pad=jax.tree.map(lambda _: P(axis_name), state_sh.G_pad),
-            TF=jax.tree.map(lambda _: repl, state_sh.TF),
-            hf_cs=jax.tree.map(lambda _: repl, state_sh.hf_cs),
-            hf_cn=jax.tree.map(lambda _: repl, state_sh.hf_cn),
-            a_cs=jax.tree.map(lambda _: P(axis_name), state_sh.a_cs),
-            a_cn=jax.tree.map(lambda _: P(axis_name), state_sh.a_cn),
-            b=state_sh.b, d2_replace=state_sh.d2_replace,
-            g_w=None if state_sh.g_w is None else P(axis_name),
-            g_lo=None if state_sh.g_lo is None else P(axis_name),
-            g_stride=state_sh.g_stride),
+        state_partition_specs(state_sh, axis_name),
         row,
     )
     out_specs = KrylovResult(
@@ -199,13 +200,18 @@ def distributed_solve(mesh: Mesh, A: Stencil5, state: DistSweepState | None,
     return fn(A_sh, state_sh, f_sh)
 
 
-def _empty_state(A: Stencil5) -> DistSweepState:
+def _empty_state(A):
     """Placeholder state for the unpreconditioned path (never applied)."""
     from ..core.complexlib import CArray
 
     L, n = A.cc.shape
     rdt = A.cc.real.dtype
     z = lambda *s: CArray(jnp.zeros(s, rdt), jnp.zeros(s, rdt))
+    if isinstance(A, Stencil9):
+        return DistSweepState9(G_pad=z(L, 1, 1), TF=z(1, 1, 1),
+                               hf_l=z(1, 3, 1), hf_u=z(1, 3, 1),
+                               a_l=z(L, 3, 1), a_u=z(L, 3, 1),
+                               b=1, d2_replace=True)
     return DistSweepState(G_pad=z(L, 1, 1), TF=z(1, 1, 1), hf_cs=z(1, 1),
                           hf_cn=z(1, 1), a_cs=z(L, 1), a_cn=z(L, 1),
                           b=1, d2_replace=True)

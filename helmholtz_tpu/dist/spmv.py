@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.sparse import Stencil5
+from ..core.sparse import Stencil5, Stencil9
 
 
 def halo_stencil_matvec(A_local: Stencil5, u_local: jax.Array,
@@ -58,4 +58,45 @@ def halo_stencil_matvec(A_local: Stencil5, u_local: jax.Array,
     # Boundary fixup: the only consumers of the halo rows.
     y = y.at[0].add(A_local.cs[0] * halo_below[0])
     y = y.at[-1].add(A_local.cn[-1] * halo_above[0])
+    return y
+
+
+def halo_stencil9_matvec(A_local: Stencil9, u_local: jax.Array,
+                         axis_name: str, n_devices: int) -> jax.Array:
+    """y_local = (A9 @ u)_local for the row-sharded 9-point operator —
+    `halo_stencil_matvec` with the four corner couplings.  The corner
+    neighbors are WITHIN-ROW shifts of the same single halo row each
+    direction already exchanges (u[j-1, i+-1] lives in the j-1 row), so
+    the communication volume is unchanged: one row up, one row down, and
+    the same issue-early/consume-late overlap shape."""
+    up_perm = [(i, i + 1) for i in range(n_devices - 1)]
+    down_perm = [(i, i - 1) for i in range(1, n_devices)]
+
+    halo_below = jax.lax.ppermute(u_local[-1:], axis_name, up_perm)[0]
+    halo_above = jax.lax.ppermute(u_local[:1], axis_name, down_perm)[0]
+
+    z = jnp.zeros_like(u_local[:, :1])
+    shw = lambda v: jnp.concatenate(          # v[..., i-1]
+        [jnp.zeros_like(v[..., :1]), v[..., :-1]], axis=-1)
+    she = lambda v: jnp.concatenate(          # v[..., i+1]
+        [v[..., 1:], jnp.zeros_like(v[..., :1])], axis=-1)
+
+    uw = shw(u_local)
+    ue = she(u_local)
+    y = A_local.cc * u_local + A_local.cw * uw + A_local.ce * ue
+    # interior inter-row couplings (local rows only)
+    y = y.at[1:].add(A_local.cs[1:] * u_local[:-1]
+                     + A_local.csw[1:] * uw[:-1]
+                     + A_local.cse[1:] * ue[:-1])
+    y = y.at[:-1].add(A_local.cn[:-1] * u_local[1:]
+                      + A_local.cnw[:-1] * uw[1:]
+                      + A_local.cne[:-1] * ue[1:])
+
+    # boundary fixup: the only consumers of the halo rows
+    y = y.at[0].add(A_local.cs[0] * halo_below
+                    + A_local.csw[0] * shw(halo_below)
+                    + A_local.cse[0] * she(halo_below))
+    y = y.at[-1].add(A_local.cn[-1] * halo_above
+                     + A_local.cnw[-1] * shw(halo_above)
+                     + A_local.cne[-1] * she(halo_above))
     return y

@@ -106,41 +106,32 @@ def build_a_stencil(n, b, const, eta, omega, h, c_full, *,
                                 complex_dtype=complex_dtype)
 
 
-def build_a_stencil9(n, b, const, eta, omega, h, c_full, *,
-                     gamma=2.0 / 3.0,
-                     fidelity="as-shipped",
-                     complex_dtype=jnp.complex128) -> Stencil9:
-    """9-point Helmholtz operator — the stencil footprint really is a
-    representation parameter (SURVEY.md section 0 note on the driver
-    metadata; VERDICT round 1 item 7).
+def build_a_stencil9_rows(rows, n, b, const, eta, omega, h, c_full, *,
+                          gamma=2.0 / 3.0,
+                          mehrstellen=True,
+                          fidelity="as-shipped",
+                          complex_dtype=jnp.complex128) -> Stencil9:
+    """Assemble the band of the 9-point operator covering grid rows
+    (0-based global indices) — the unit of DISTRIBUTED 9-point assembly,
+    exactly as `build_a_stencil_rows` is for the 5-point scheme: the
+    replicated velocity field + scalars suffice, zero communication.
+    `build_a_stencil9` is the rows=arange(n) case.
 
-    The scheme blends the PML 5-point cross with a rotated (diagonal)
-    cross: axis couplings are gamma times the 5-point coefficients, the
-    four diagonal couplings carry weight (1-gamma)/(2h^2) times the
-    symmetrized stretching ratio at the cell-corner midpoint, and the
-    diagonal term keeps omega^2/(s1 s2 c^2) minus the (unmasked) coupling
-    sum — so row sums of the Laplacian part vanish exactly, like the
-    reference scheme.
-
-    Limits that pin the construction:
-      * gamma = 1 reproduces `build_a_stencil` exactly (tested);
-      * gamma = 2/3, no PML (const = 0, s == 1) gives the classical
-        compact 9-point Laplacian [1 4 1; 4 -20 4; 1 4 1] / (6 h^2) plus
-        the mass term (tested).
-
-    PML TAPER: the diagonal branch has no consistent 1-D stretching
-    factorization (the rotated directions mix s1 and s2), so inside the
-    absorbing layers the blend is smoothly tapered to the pure 5-point
-    scheme: gamma_eff = 1 - (1-gamma) q1 q2 with q = 1/(1 + (sigma/|w|)^2)
-    — q == 1 (full 9-point) wherever sigma == 0, q -> 0 (consistent
-    5-point PML) deep in the layer.  Without the taper the heuristic
-    corner stretching reflects at the PML interface and preconditioned
-    iteration counts grow with omega (measured: 8 -> 14 -> 200+ at
-    n = 127/255/511 untapered).
-    """
+    `mehrstellen=True` (the default — round 5) completes the compact
+    scheme: the mass term omega^2/c^2 u is BLENDED over the axis
+    neighbors with the classical Mehrstellen stencil
+    [0 1 0; 1 8 1; 0 1 0] / 12 (k^2(x) sampled at each mass point), and
+    the matching RHS filter is `mass_filter9_rows` — together the
+    interior scheme is 4th-order for smooth fields (measured:
+    bench.accuracy refine study; the round-4 point-mass blend was
+    2nd-order with a LARGER error constant than 5-point, i.e. no reason
+    to exist).  The mass weights taper to the pure point mass inside the
+    PML with the same q1*q2 factor as the corner couplings, so the
+    absorbing layers keep the consistent 5-point PML discretization."""
     cd = complex_dtype
+    rows = jnp.asarray(rows)
     i = jnp.arange(1, n + 1)
-    j = jnp.arange(1, n + 1)[:, None]
+    j = (rows + 1)[:, None]
     inv_h2 = 1.0 / (h * h)
 
     s1_m = pml.s1((i - 0.5) * h, const, eta, omega, cd)
@@ -173,33 +164,122 @@ def build_a_stencil9(n, b, const, eta, omega, h, c_full, *,
         half = 0.5 * (1.0 - geff(qx, qy)) * inv_h2
         return half * 0.5 * (s1_h / s2_h + s2_h / s1_h)
 
-    csw = corner(s1_m, s2_m, q1_m, q2_m) * jnp.ones((n, 1), cd)
-    cse = corner(s1_p, s2_m, q1_p, q2_m) * jnp.ones((n, 1), cd)
-    cnw = corner(s1_m, s2_p, q1_m, q2_p) * jnp.ones((n, 1), cd)
-    cne = corner(s1_p, s2_p, q1_p, q2_p) * jnp.ones((n, 1), cd)
-    csw, cse, cnw, cne = (jnp.broadcast_to(x, (n, n))
-                          for x in (csw, cse, cnw, cne))
+    L_loc = rows.shape[0]
+    csw, cse, cnw, cne = (
+        jnp.broadcast_to(corner(s1h, s2h, qx, qy), (L_loc, n))
+        for s1h, s2h, qx, qy in ((s1_m, s2_m, q1_m, q2_m),
+                                 (s1_p, s2_m, q1_p, q2_m),
+                                 (s1_m, s2_p, q1_m, q2_p),
+                                 (s1_p, s2_p, q1_p, q2_p)))
+    cw, ce, cs, cn = (jnp.broadcast_to(x, (L_loc, n))
+                      for x in (cw, ce, cs, cn))
 
     omega_c = jnp.asarray(omega, cd)
-    cvel = _sample_velocity(jnp.asarray(c_full), i[None, :], j, fidelity)
-    cc = omega_c**2 / (s1_c[None, :] * s2_c * cvel.astype(cd) ** 2) \
-        - (cw + ce + cs + cn + csw + cse + cnw + cne)
+    cf = jnp.asarray(c_full)
+    cvel = _sample_velocity(cf, i[None, :], j, fidelity)
+    mass_c = omega_c**2 / (s1_c[None, :] * s2_c * cvel.astype(cd) ** 2)
+    cc = -(cw + ce + cs + cn + csw + cse + cnw + cne)
+    if mehrstellen:
+        # Mehrstellen mass blending: e -> 1/12 per axis neighbor in the
+        # interior, -> 0 in the PML (same q taper as the couplings); the
+        # center keeps 1 - sum(e) of ITS mass so the total mass weight is
+        # exactly 1 everywhere.  k^2 is sampled at each mass point
+        # (clipped indices; the velocity field is (n+2, n+2)).
+        ii = i[None, :]
+        samp = lambda di, dj: _sample_velocity(
+            cf, jnp.clip(ii + di, 0, n + 1), jnp.clip(j + dj, 0, n + 1),
+            fidelity).astype(cd)
+        mass_at = lambda di, dj: omega_c**2 / (
+            s1_c[None, :] * s2_c * samp(di, dj) ** 2)
+        e_w = (q1_m * q2_c).astype(cd) / 12.0
+        e_e = (q1_p * q2_c).astype(cd) / 12.0
+        e_s = (q1_c * q2_m).astype(cd) / 12.0
+        e_n = (q1_c * q2_p).astype(cd) / 12.0
+        cw = cw + e_w * mass_at(-1, 0)
+        ce = ce + e_e * mass_at(1, 0)
+        cs = cs + e_s * mass_at(0, -1)
+        cn = cn + e_n * mass_at(0, 1)
+        cc = cc + (1.0 - (e_w + e_e + e_s + e_n)) * mass_c
+    else:
+        cc = cc + mass_c
 
-    # Dirichlet masking of couplings that leave the grid
+    # Dirichlet masking of couplings that leave the grid.  Column masks
+    # are static; row masks depend on the GLOBAL row index (the band may
+    # sit anywhere), so they are where-masks like build_a_stencil_rows.
+    bot = (rows == 0)[:, None]
+    top = (rows == n - 1)[:, None]
     cw = cw.at[:, 0].set(0)
     ce = ce.at[:, -1].set(0)
-    cs = cs.at[0, :].set(0)
-    cn = cn.at[-1, :].set(0)
-    csw = csw.at[0, :].set(0).at[:, 0].set(0)
-    cse = cse.at[0, :].set(0).at[:, -1].set(0)
-    cnw = cnw.at[-1, :].set(0).at[:, 0].set(0)
-    cne = cne.at[-1, :].set(0).at[:, -1].set(0)
+    cs = jnp.where(bot, 0, cs)
+    cn = jnp.where(top, 0, cn)
+    csw = jnp.where(bot, 0, csw).at[:, 0].set(0)
+    cse = jnp.where(bot, 0, cse).at[:, -1].set(0)
+    cnw = jnp.where(top, 0, cnw).at[:, 0].set(0)
+    cne = jnp.where(top, 0, cne).at[:, -1].set(0)
     return Stencil9(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn,
                     csw=csw, cse=cse, cnw=cnw, cne=cne)
 
 
+def build_a_stencil9(n, b, const, eta, omega, h, c_full, *,
+                     gamma=2.0 / 3.0,
+                     mehrstellen=True,
+                     fidelity="as-shipped",
+                     complex_dtype=jnp.complex128) -> Stencil9:
+    """9-point Helmholtz operator — the stencil footprint really is a
+    representation parameter (SURVEY.md section 0 note on the driver
+    metadata; VERDICT round 1 item 7).
+
+    The scheme blends the PML 5-point cross with a rotated (diagonal)
+    cross: axis couplings are gamma times the 5-point coefficients, the
+    four diagonal couplings carry weight (1-gamma)/(2h^2) times the
+    symmetrized stretching ratio at the cell-corner midpoint, and the
+    diagonal term keeps omega^2/(s1 s2 c^2) minus the (unmasked) coupling
+    sum — so row sums of the Laplacian part vanish exactly, like the
+    reference scheme.
+
+    Limits that pin the construction:
+      * gamma = 1 reproduces `build_a_stencil` exactly (tested);
+      * gamma = 2/3, no PML (const = 0, s == 1) gives the classical
+        compact 9-point Laplacian [1 4 1; 4 -20 4; 1 4 1] / (6 h^2) plus
+        the mass term (tested).
+
+    PML TAPER: the diagonal branch has no consistent 1-D stretching
+    factorization (the rotated directions mix s1 and s2), so inside the
+    absorbing layers the blend is smoothly tapered to the pure 5-point
+    scheme: gamma_eff = 1 - (1-gamma) q1 q2 with q = 1/(1 + (sigma/|w|)^2)
+    — q == 1 (full 9-point) wherever sigma == 0, q -> 0 (consistent
+    5-point PML) deep in the layer.  Without the taper the heuristic
+    corner stretching reflects at the PML interface and preconditioned
+    iteration counts grow with omega (measured: 8 -> 14 -> 200+ at
+    n = 127/255/511 untapered).
+    """
+    return build_a_stencil9_rows(jnp.arange(n), n, b, const, eta, omega, h,
+                                 c_full, gamma=gamma,
+                                 mehrstellen=mehrstellen, fidelity=fidelity,
+                                 complex_dtype=complex_dtype)
+
+
+def build_hf_stencil9(n, b, const, eta, omega, h, c_full, *,
+                      gamma=2.0 / 3.0, fidelity="corrected",
+                      complex_dtype=jnp.complex128) -> Stencil9:
+    """H_F9 assembled standalone from scalars + the velocity field — the
+    same matrix `extract_hf_stencil9` slices out of an assembled A9,
+    built without needing A9 (so every device of a distributed 9-point
+    setup computes the replicated H_F9 factors locally, mirroring
+    `build_hf_stencil`)."""
+    HF = build_a_stencil9_rows(jnp.arange(b), n, b, const, eta, omega, h,
+                               c_full, gamma=gamma, fidelity=fidelity,
+                               complex_dtype=complex_dtype)
+    top_zero = lambda f: f.at[b - 1, :].set(0)
+    return Stencil9(cc=HF.cc, cw=HF.cw, ce=HF.ce,
+                    cs=HF.cs, cn=top_zero(HF.cn),
+                    csw=HF.csw, cse=HF.cse,
+                    cnw=top_zero(HF.cnw), cne=top_zero(HF.cne))
+
+
 def build_hm_stencils9(n, b, const, eta, omega, h, c_full, *,
                        gamma=2.0 / 3.0,
+                       mehrstellen=True,
                        fidelity="corrected",
                        complex_dtype=jnp.complex128,
                        rows=None) -> Stencil9:
@@ -265,11 +345,31 @@ def build_hm_stencils9(n, b, const, eta, omega, h, c_full, *,
 
     j_global = m - b + l                           # (M, b, 1), 1-based
     omega_c = jnp.asarray(omega, cd)
-    cvel = _sample_velocity(jnp.asarray(c_full), i[None, None, :],
-                            j_global, fidelity)
-    cc = omega_c**2 / (s1_c[None, None, :] * s2_c[None]
-                       * cvel.astype(cd) ** 2) \
-        - (cw + ce + cs + cn + csw + cse + cnw + cne)
+    cf = jnp.asarray(c_full)
+    cvel = _sample_velocity(cf, i[None, None, :], j_global, fidelity)
+    s12 = s1_c[None, None, :] * s2_c[None]
+    mass_c = omega_c**2 / (s12 * cvel.astype(cd) ** 2)
+    cc = -(cw + ce + cs + cn + csw + cse + cnw + cne)
+    if mehrstellen:
+        # mass blending with the MOVED q2 taper (local layer l) — the
+        # subgrid family mirrors build_a_stencil9_rows so the moved-PML
+        # corner inverses approximate the same operator
+        ii = i[None, None, :]
+        samp = lambda di, dj: _sample_velocity(
+            cf, jnp.clip(ii + di, 0, n + 1),
+            jnp.clip(j_global + dj, 0, n + 1), fidelity).astype(cd)
+        mass_at = lambda di, dj: omega_c**2 / (s12 * samp(di, dj) ** 2)
+        e_w = (q1_m * q2_c).astype(cd)[None] / 12.0
+        e_e = (q1_p * q2_c).astype(cd)[None] / 12.0
+        e_s = (q1_c * q2_m).astype(cd)[None] / 12.0
+        e_n = (q1_c * q2_p).astype(cd)[None] / 12.0
+        cw = cw + e_w * mass_at(-1, 0)
+        ce = ce + e_e * mass_at(1, 0)
+        cs = cs + e_s * mass_at(0, -1)
+        cn = cn + e_n * mass_at(0, 1)
+        cc = cc + (1.0 - (e_w + e_e + e_s + e_n)) * mass_c
+    else:
+        cc = cc + mass_c
 
     cw = cw.at[:, :, 0].set(0)
     ce = ce.at[:, :, -1].set(0)
@@ -281,6 +381,44 @@ def build_hm_stencils9(n, b, const, eta, omega, h, c_full, *,
     cne = cne.at[:, -1, :].set(0).at[:, :, -1].set(0)
     return Stencil9(cc=cc, cw=cw, ce=ce, cs=cs, cn=cn,
                     csw=csw, cse=cse, cnw=cnw, cne=cne)
+
+
+def mass_filter9(n, b, const, eta, omega, h, f_grid, *,
+                 mehrstellen=True):
+    """The Mehrstellen RHS filter M f matching
+    `build_a_stencil9(mehrstellen=True)`: the same tapered axis-neighbor
+    weights (e -> 1/12 interior, -> 0 in the PML), zero outside the grid
+    (the Dirichlet convention of the masked operator couplings).  The
+    compact scheme solves A9 u = M f; without the filter the blended mass
+    operator is still consistent but only 2nd-order.  f_grid: (..., n, n)
+    (leading batch axes allowed — multi-source sweeps filter the whole
+    batch in one pass)."""
+    if not mehrstellen:
+        return f_grid
+    i = jnp.arange(1, n + 1)
+    j = jnp.arange(1, n + 1)[:, None]
+    wdt = f_grid.real.dtype
+    aw = jnp.abs(jnp.asarray(omega)).real.astype(wdt)
+    q = lambda sig: 1.0 / (1.0 + (sig.astype(wdt) / aw) ** 2)
+    q1_m = q(pml.sigma1((i - 0.5) * h, const, eta))
+    q1_p = q(pml.sigma1((i + 0.5) * h, const, eta))
+    q1_c = q(pml.sigma1(i * h, const, eta))
+    q2_m = q(pml.sigma2((j - 0.5) * h, const, eta))
+    q2_p = q(pml.sigma2((j + 0.5) * h, const, eta))
+    q2_c = q(pml.sigma2(j * h, const, eta))
+    e_w = (q1_m * q2_c) / 12.0
+    e_e = (q1_p * q2_c) / 12.0
+    e_s = (q1_c * q2_m) / 12.0
+    e_n = (q1_c * q2_p) / 12.0
+
+    z_col = jnp.zeros_like(f_grid[..., :, :1])
+    z_row = jnp.zeros_like(f_grid[..., :1, :])
+    fw = jnp.concatenate([z_col, f_grid[..., :, :-1]], axis=-1)
+    fe = jnp.concatenate([f_grid[..., :, 1:], z_col], axis=-1)
+    fs = jnp.concatenate([z_row, f_grid[..., :-1, :]], axis=-2)
+    fn_ = jnp.concatenate([f_grid[..., 1:, :], z_row], axis=-2)
+    return ((1.0 - (e_w + e_e + e_s + e_n)) * f_grid
+            + e_w * fw + e_e * fe + e_s * fs + e_n * fn_)
 
 
 def extract_hf_stencil9(A: Stencil9, b: int) -> Stencil9:

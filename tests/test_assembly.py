@@ -135,7 +135,8 @@ def test_stencil9_gamma1_reduces_to_5point():
     omega = 2.0 * jnp.pi * 2.0 + 2.0j
     c_full = jnp.ones((n + 2, n + 2))
     A5 = build_a_stencil(n, b, 20.0, eta, omega, h, c_full)
-    A9 = build_a_stencil9(n, b, 20.0, eta, omega, h, c_full, gamma=1.0)
+    A9 = build_a_stencil9(n, b, 20.0, eta, omega, h, c_full, gamma=1.0,
+                          mehrstellen=False)
     for f in ("cc", "cw", "ce", "cs", "cn"):
         np.testing.assert_allclose(np.asarray(getattr(A9, f)),
                                    np.asarray(getattr(A5, f)),
@@ -145,7 +146,10 @@ def test_stencil9_gamma1_reduces_to_5point():
 
 
 def test_stencil9_classical_compact_weights():
-    """gamma=2/3 with no PML == [1 4 1; 4 -20 4; 1 4 1]/(6h^2) + mass."""
+    """gamma=2/3 with no PML == the classical 4th-order compact Helmholtz
+    scheme: Laplacian [1 4 1; 4 -20 4; 1 4 1]/(6h^2) + Mehrstellen mass
+    [0 1 0; 1 8 1; 0 1 0]/12 * omega^2 (round 5 — the round-4 point-mass
+    variant is kept under mehrstellen=False)."""
     import jax.numpy as jnp
     from helmholtz_tpu.fd.stencil import build_a_stencil9
 
@@ -156,10 +160,16 @@ def test_stencil9_classical_compact_weights():
     A9 = build_a_stencil9(n, 2, 0.0, 2 * h, omega, h, c_full)  # const=0: s==1
     k = n // 2  # interior point
     ih2 = 1.0 / h**2
-    assert np.isclose(complex(A9.cw[k, k]), 4.0 / 6.0 * ih2)
-    assert np.isclose(complex(A9.cne[k, k]), 1.0 / 6.0 * ih2)
     mass = complex(omega**2)
-    assert np.isclose(complex(A9.cc[k, k]), -20.0 / 6.0 * ih2 + mass)
+    assert np.isclose(complex(A9.cw[k, k]), 4.0 / 6.0 * ih2 + mass / 12.0)
+    assert np.isclose(complex(A9.cne[k, k]), 1.0 / 6.0 * ih2)
+    assert np.isclose(complex(A9.cc[k, k]),
+                      -20.0 / 6.0 * ih2 + 8.0 / 12.0 * mass)
+    # point-mass variant preserved behind the switch
+    A9p = build_a_stencil9(n, 2, 0.0, 2 * h, omega, h, c_full,
+                           mehrstellen=False)
+    assert np.isclose(complex(A9p.cw[k, k]), 4.0 / 6.0 * ih2)
+    assert np.isclose(complex(A9p.cc[k, k]), -20.0 / 6.0 * ih2 + mass)
 
 
 def test_stencil9_truncation_and_solve():
@@ -181,9 +191,13 @@ def test_stencil9_truncation_and_solve():
     xx, yy = np.meshgrid(x, x)
     u = np.sin(np.pi * xx) * np.sin(np.pi * yy)
     Au = np.asarray(stencil9_matvec(A9, jnp.asarray(u, A9.cc.dtype)))
-    expect = (complex(omega**2) - 2 * np.pi**2) * u
+    # Mehrstellen identity: A9 u ~= M (Delta u + omega^2 u) to O(h^4)
+    from helmholtz_tpu.fd.stencil import mass_filter9
+    expect = np.asarray(mass_filter9(
+        n, 2, 0.0, 2 * h, omega, h,
+        jnp.asarray((complex(omega**2) - 2 * np.pi**2) * u, A9.cc.dtype)))
     interior = np.abs(Au - expect)[2:-2, 2:-2].max()
-    assert interior < 0.5 * np.pi**4 * h**2 * 10   # O(h^2) truncation
+    assert interior < 20 * np.pi**6 * h**4        # O(h^4) truncation
 
     # solve A9 x = f via GMRES through the 9-point matvec; verify against
     # the dense oracle
