@@ -27,7 +27,10 @@ def _oracle_iters():
         with open(path) as fh:
             for line in fh:
                 rec = json.loads(line)
-                out[(rec["n"], rec["rtol"])] = rec["iters"]
+                if rec.get("stencil") == "9pt":
+                    out[("9pt", rec["n"], rec["rtol"])] = rec["iters"]
+                else:
+                    out[(rec["n"], rec["rtol"])] = rec["iters"]
     except OSError:
         pass
     return out
@@ -81,6 +84,42 @@ def _measure_bounded(name, fn, reps=3):
     return out
 
 
+def _solve9(n, reps=2):
+    """9-point headline (VERDICT round 4 task 7: track 9pt round-over-
+    round): n at the measured recipe b ~ n/14, C ~ 60, bf16 compressed-
+    capable strided setup; returns the median-solve report."""
+    from helmholtz_tpu.driver import min_pml_width9, run_solver
+
+    b9 = max(12, min_pml_width9(n))
+    kw = dict(stencil="9pt", rtol=1e-3, maxiter=60, g_dtype="bf16")
+    run_solver(n, b9, (n + 1) / 8.0, 60.0, **kw)       # compile + warm
+    rs = [run_solver(n, b9, (n + 1) / 8.0, 60.0, **kw) for _ in range(reps)]
+    rs.sort(key=lambda r: r.solve_time)
+    return rs[len(rs) // 2]
+
+
+def _ninepoint_block(n, oracle):
+    try:
+        r9 = _solve9(n)
+    except Exception as e:
+        print(f"9pt n={n} failed: {type(e).__name__}: {e}", file=sys.stderr)
+        return {"ninepoint_error": f"{type(e).__name__}: {e}"[:200]}
+    o9 = oracle.get(("9pt", n, 1e-3))
+    return {"ninepoint": {
+        "n": n, "b": r9.config["b"],
+        "solve_wall_s": round(r9.solve_time, 4),
+        "init_wall_s": round(r9.init_time, 2),
+        "iters": int(r9.iterations),
+        "oracle_iters": o9,
+        "parity": (None if o9 is None
+                   else bool(r9.iterations <= o9 + 1)),
+        "converged": bool(r9.converged),
+        "true_residual": float(r9.true_residual),
+        "g_dtype": "bf16",
+        "scheme": "mehrstellen (4th-order interior, bench.accuracy)",
+    }}
+
+
 def main():
     import jax
 
@@ -118,6 +157,10 @@ def main():
         sweep = _measure_bounded("sweep", lambda: __import__(
             "helmholtz_tpu.bench.roofline", fromlist=["measure_sweep"]
         ).measure_sweep(n=n, g_dtype="bf16"))
+        setup = _measure_bounded("setup", lambda: __import__(
+            "helmholtz_tpu.bench.roofline", fromlist=["measure_setup"]
+        ).measure_setup(n=n, g_dtype="bf16"), reps=1)
+        nine = _ninepoint_block(n, oracle)
         vs = (ref_s / r3.solve_time) if r3.converged and r3.solve_time > 0 \
             else 0.0
         o3, o6 = oracle.get((n, 1e-3)), oracle.get((n, 1e-6))
@@ -173,6 +216,17 @@ def main():
             "solve_spread_s": [round(t, 4) for t in
                                r3.config.get("solve_spread_s", [])],
             "factor_stride": r3.config.get("factor_stride"),
+            "setup_roofline_fraction": round(
+                setup.get("roofline_fraction", 0.0), 3),
+            "setup_phases_s": {k: setup.get(k) for k in
+                               ("assembly_s", "factor_samples_s",
+                                "expand_s", "hf_s", "total_warm_s")},
+            "setup_factor_effective_tflops": setup.get(
+                "factor_effective_tflops"),
+            "setup_measured_matmul_tflops": setup.get(
+                "measured_matmul_tflops"),
+            "setup_expand_fraction": setup.get("expand_fraction"),
+            **nine,
         }))
         return
     print(json.dumps({"metric": "gmres_solve_wall_s", "value": -1.0,

@@ -210,10 +210,17 @@ def _assemble9_stage(wave_num, const, alpha, gamma, *, n, b, problem,
 
 @partial(jax.jit, static_argnames=("b", "d2_replace", "setup_chunk",
                                    "g_dtype", "factor_stride",
-                                   "hm_sampled", "g_compress"))
+                                   "hm_sampled", "g_compress"),
+         donate_argnums=(1,))
 def _factor9_stage(A9_pair, hm9_pair, *, b, d2_replace, setup_chunk,
                    g_dtype="working", factor_stride=1, hm_sampled=False,
                    g_compress=False):
+    """hm9_pair is DONATED: at the production 9-point widths (b ~ n/14)
+    the sampled nine-field family is multi-GB (5.2 GB at n=2047/b=147)
+    and XLA must be allowed to reuse its buffers for the H_F9 Thomas
+    stack once the corner factorization has consumed them — without
+    donation the n=2047 compressed flagship OOMs (16.5 GB demand).  No
+    caller touches hm9_pair after this stage."""
     from .precond.sweeping9 import setup_preconditioner9
 
     with jax.named_scope("factor9"):
@@ -225,6 +232,199 @@ def _factor9_stage(A9_pair, hm9_pair, *, b, d2_replace, setup_chunk,
                                   hm_sampled=hm_sampled,
                                   g_compress=g_compress)
         return pairify(P)
+
+
+@partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity",
+                                   "cdtype", "factor_stride", "g_dtype",
+                                   "d2_replace", "setup_chunk",
+                                   "g_compress"))
+def _assemble_factor9_stage(wave_num, const, alpha, gamma, *, n, b,
+                            problem, fidelity, cdtype, factor_stride,
+                            g_dtype="working", d2_replace=True,
+                            setup_chunk=128, g_compress=False):
+    """Fused 9-point assembly + factorization for the SAMPLED layout:
+    the sample subgrids are assembled chunk-by-chunk INSIDE the factor
+    loop (precond.sweeping9.factor_samples9_assembling), so the
+    multi-GB nine-field family never exists — the memory-lean path that
+    fits the n=2047/b=147 compressed flagship on one chip (the staged
+    assemble-then-factor pipeline OOM'd there even with donated family
+    buffers).  Returns (A9_pair, filtered-f_pair, P_pair)."""
+    from .core.complexlib import CArray
+    from .precond.sweeping import (compress_tables, expand_strided_samples,
+                                   sample_positions)
+    from .precond.sweeping9 import (SweepingPreconditioner9,
+                                    _coupling_triples, _schur_t_stack9,
+                                    factor_samples9_assembling)
+
+    with jax.named_scope("assemble_factor9"):
+        omega = (2.0 * jnp.pi * wave_num + 1j * alpha).astype(cdtype)
+        h = 1.0 / (n + 1)
+        eta = b * h
+        wf = jnp.finfo(jnp.result_type(cdtype, jnp.float32)).dtype
+        c_full, f_grid = fd_problems.PROBLEMS[problem](
+            omega, n, complex_dtype=cdtype)
+        A9 = fd_stencil.build_a_stencil9(
+            n, b, const, eta, omega, h, c_full, gamma=gamma,
+            fidelity=fidelity, complex_dtype=cdtype)
+        f9 = fd_stencil.mass_filter9(n, b, const, eta, omega, h,
+                                     f_grid.astype(cdtype))
+        M = n - b
+        R = factor_stride
+        pos = sample_positions(M, R)
+        n_pad = ((-(-n // 128) * 128)
+                 if jax.default_backend() == "tpu" else n)
+        gdt = _G_DTYPES[g_dtype] or wf
+        Gs = factor_samples9_assembling(
+            n, b, const, eta, omega, h, c_full, gamma=gamma, pos=pos,
+            n_pad=n_pad, g_dtype=(gdt if g_compress else wf),
+            setup_chunk=setup_chunk, fidelity=fidelity,
+            complex_dtype=cdtype)
+        g_w = g_lo = None
+        g_stride = 0
+        if g_compress:
+            G = Gs
+            g_w, g_lo = compress_tables(M, R)
+            g_stride = R
+        else:
+            G = expand_strided_samples(Gs, M=M, stride=R, g_dtype=gdt,
+                                       setup_chunk=setup_chunk)
+        HF = fd_stencil.extract_hf_stencil9(A9, b)
+        TF = _schur_t_stack9(HF)
+        hf_lo, hf_up = _coupling_triples(HF)
+        a_lo, a_up = _coupling_triples(A9)
+        as_pair = lambda z: z if isinstance(z, CArray) else CArray.of(z)
+        P = SweepingPreconditioner9(
+            G=as_pair(G), TF=as_pair(TF),
+            hf_l=CArray.of(hf_lo), hf_u=CArray.of(hf_up),
+            a_l=CArray.of(a_lo), a_u=CArray.of(a_up),
+            b=b, d2_replace=d2_replace, g_w=g_w, g_lo=g_lo,
+            g_stride=g_stride)
+        return pairify((A9, f9, P))
+
+
+@partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity",
+                                   "cdtype"))
+def _assemble9_meta_stage(wave_num, const, alpha, gamma, *, n, b, problem,
+                          fidelity, cdtype):
+    """A9 + filtered f + the H_F9 factors and coupling triples — the
+    fused setup minus the G factorization (the host-chunked capacity
+    setup's stage A)."""
+    from .precond.sweeping9 import _coupling_triples, _schur_t_stack9
+
+    omega = (2.0 * jnp.pi * wave_num + 1j * alpha).astype(cdtype)
+    h = 1.0 / (n + 1)
+    eta = b * h
+    c_full, f_grid = fd_problems.PROBLEMS[problem](
+        omega, n, complex_dtype=cdtype)
+    A9 = fd_stencil.build_a_stencil9(
+        n, b, const, eta, omega, h, c_full, gamma=gamma,
+        fidelity=fidelity, complex_dtype=cdtype)
+    f9 = fd_stencil.mass_filter9(n, b, const, eta, omega, h,
+                                 f_grid.astype(cdtype))
+    HF = fd_stencil.extract_hf_stencil9(A9, b)
+    TF = _schur_t_stack9(HF)
+    hf_lo, hf_up = _coupling_triples(HF)
+    a_lo, a_up = _coupling_triples(A9)
+    return pairify((A9, f9, TF, (hf_lo, hf_up), (a_lo, a_up)))
+
+
+@partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity",
+                                   "cdtype", "chunk", "n_pad", "g_dtype"))
+def _factor9_chunk_stage(wave_num, const, alpha, gamma, rows, *, n, b,
+                         problem, fidelity, cdtype, chunk, n_pad,
+                         g_dtype="working"):
+    """Assemble + factor ONE chunk of sampled 9-point subgrids (stage B
+    of the host-chunked setup): a small standalone program per chunk, so
+    no giant compiled loop nest ever exists."""
+    from .precond.sweeping9 import _schur_corner_inverse9
+
+    omega = (2.0 * jnp.pi * wave_num + 1j * alpha).astype(cdtype)
+    h = 1.0 / (n + 1)
+    eta = b * h
+    c_full, _ = fd_problems.PROBLEMS[problem](omega, n,
+                                              complex_dtype=cdtype)
+    hm_c = fd_stencil.build_hm_stencils9(
+        n, b, const, eta, omega, h, c_full, gamma=gamma,
+        fidelity=fidelity, complex_dtype=cdtype, rows=rows)
+    Tc = _schur_corner_inverse9(hm_c)
+    wf = jnp.finfo(jnp.result_type(cdtype, jnp.float32)).dtype
+    gdt = _G_DTYPES[g_dtype] or wf
+    pad = lambda x: jnp.pad(
+        x, ((0, 0), (0, n_pad - n), (0, n_pad - n))).astype(gdt)
+    from .core.complexlib import CArray
+    return CArray(pad(Tc.real), pad(Tc.imag))
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _g_write_stage(G_re, G_im, chunk_pair, start):
+    """Scatter one factored chunk into the (donated) G sample buffers —
+    in-place on device, one small program reused for every chunk
+    (stage C; `start` is traced so there is exactly one compilation)."""
+    G_re = jax.lax.dynamic_update_slice_in_dim(G_re, chunk_pair.re,
+                                               start, 0)
+    G_im = jax.lax.dynamic_update_slice_in_dim(G_im, chunk_pair.im,
+                                               start, 0)
+    return G_re, G_im
+
+
+def _assemble_factor9_hostchunks(wave_num, const, alpha, gamma, *, n, b,
+                                 problem, fidelity, cdtype, factor_stride,
+                                 g_dtype="working", d2_replace=True,
+                                 setup_chunk=128, g_compress=False):
+    """Host-driven chunked 9-point sampled setup: the fused
+    `_assemble_factor9_stage` with the chunk loop moved to the HOST — the
+    capacity workaround for the backend's program-size miscompile, which
+    at n = 2047 kills even the SETUP's compiled fori(scan(GJ)) nest (TPU
+    worker kernel fault, round 5; docs/miscompile_repro.py has the solver
+    side of the same bug).  Each chunk is a small standalone program
+    (assemble -> Schur -> scatter into donated G buffers); dispatch cost
+    is ~n_chunks round trips, noise against the multi-second Schur work.
+    Used automatically at n >= the hostloop envelope."""
+    from .core.complexlib import CArray
+    from .precond.sweeping import compress_tables, sample_positions
+    from .precond.sweeping9 import SweepingPreconditioner9
+
+    wf = jnp.result_type(float)
+    wargs = (jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
+             jnp.asarray(alpha, wf), jnp.asarray(gamma, wf))
+    A9_pair, f9_pair, TF, (hf_lo, hf_up), (a_lo, a_up) = \
+        _assemble9_meta_stage(*wargs, n=n, b=b, problem=problem,
+                              fidelity=fidelity, cdtype=cdtype)
+    M = n - b
+    R = factor_stride
+    pos = sample_positions(M, R)
+    Ms = len(pos)
+    n_pad = (-(-n // 128) * 128) if jax.default_backend() == "tpu" else n
+    rdt = jnp.finfo(jnp.result_type(cdtype, jnp.float32)).dtype
+    gdt = _G_DTYPES[g_dtype] or rdt
+    chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
+    chunk = min(chunk, Ms)
+    G_re = jnp.zeros((Ms, n_pad, n_pad), gdt)
+    G_im = jnp.zeros((Ms, n_pad, n_pad), gdt)
+    for start in range(0, Ms, chunk):
+        start = min(start, Ms - chunk)
+        rows = jnp.asarray(b + pos[start:start + chunk])
+        Tc = _factor9_chunk_stage(*wargs, rows, n=n, b=b, problem=problem,
+                                  fidelity=fidelity, cdtype=cdtype,
+                                  chunk=chunk, n_pad=n_pad,
+                                  g_dtype=g_dtype)
+        G_re, G_im = _g_write_stage(G_re, G_im, Tc,
+                                    jnp.asarray(start, jnp.int32))
+
+    if g_compress:
+        g_w, g_lo = compress_tables(M, R)
+        G = CArray(G_re, G_im)
+        g_stride = R
+    else:
+        from .precond.sweeping import expand_strided_samples
+        G = expand_strided_samples(CArray(G_re, G_im), M=M, stride=R,
+                                   g_dtype=gdt, setup_chunk=setup_chunk)
+        g_w = g_lo = None
+        g_stride = 0
+    P = SweepingPreconditioner9(
+        G=G, TF=TF, hf_l=hf_lo, hf_u=hf_up, a_l=a_lo, a_u=a_up,
+        b=b, d2_replace=d2_replace, g_w=g_w, g_lo=g_lo, g_stride=g_stride)
+    return A9_pair, f9_pair, P
 
 
 @partial(jax.jit, static_argnames=("b", "hf_full_coupling", "d2_replace",
@@ -349,14 +549,23 @@ def _solve_hostloop(A_pair, P_pair, f_pair, rtol, *, restart, maxiter,
                     use_precond):
     """Host-driven GMRES (solve.hostloop): the loop-nest-free fallback for
     capacity configs where the compiled while-loop nest miscompiles on the
-    backend (recompute preconditioner at n >= 1407 — precond/recompute.py
-    docstring).  Dispatch overhead is one round trip per Arnoldi step,
-    negligible against the multi-second applies it exists for."""
+    backend (recompute at n >= 1407, 9-point stored at n >= ~2047 —
+    precond/recompute.py + docs/miscompile_repro.py).  Dispatch overhead
+    is one round trip per Arnoldi step, negligible against the
+    multi-second applies it exists for."""
     from .core.complexlib import CArray
+    from .core.sparse import Stencil9
     from .solve.hostloop import gmres_hostloop
 
-    L, n = A_pair.grid_shape
-    if jax.default_backend() == "tpu":
+    L, n = A_pair.grid_shape if not isinstance(A_pair, Stencil9) \
+        else A_pair.cc.shape
+    if isinstance(A_pair, Stencil9):
+        from .ops.spmv import stencil9_matvec
+
+        def matvec_of(Ap, v):
+            A9 = complexify(Ap)
+            return stencil9_matvec(A9, v.reshape(L, n)).reshape(-1)
+    elif jax.default_backend() == "tpu":
         from .ops.pallas.spmv_stencil import pallas_stencil_matvec
 
         def matvec_of(Ap, v):
@@ -375,16 +584,30 @@ def _solve_hostloop(A_pair, P_pair, f_pair, rtol, *, restart, maxiter,
 
 def _msolve_hostloop(A_pair, P_pair, F_pair, rtol, *, restart, maxiter):
     """Batched-RHS host-driven GMRES (solve.hostloop.gmres_hostloop_batched)
-    — the capacity fallback for `run_multisolve(precond='recompute')` at
-    n >= the miscompile envelope: the whole batch rides one chunk-G
-    rematerialization per Arnoldi step."""
+    — the capacity fallback at the compiled-nest miscompile envelope: the
+    whole batch rides one preconditioner application per Arnoldi step
+    (recompute: one chunk-G rematerialization; stored 9-point: one pass
+    of the sample panels)."""
     from .core.complexlib import CArray
-    from .precond.recompute import apply_recompute_multi
+    from .core.sparse import Stencil9
+    from .precond.recompute import (RecomputeSweepingPreconditioner,
+                                    apply_recompute_multi)
+    from .precond.sweeping import apply_preconditioner_multi
+    from .precond.sweeping9 import (SweepingPreconditioner9,
+                                    apply_preconditioner9_multi)
     from .solve.hostloop import gmres_hostloop_batched
 
-    L, n = A_pair.grid_shape
+    nine = isinstance(A_pair, Stencil9)
+    L, n = A_pair.cc.shape if nine else A_pair.grid_shape
     K = F_pair.re.shape[0]
-    if jax.default_backend() == "tpu":
+    if nine:
+        from .ops.spmv import stencil9_matvec
+
+        def matvec_of(Ap, V):
+            A9 = complexify(Ap)
+            return jax.vmap(lambda v: stencil9_matvec(
+                A9, v.reshape(L, n)).reshape(-1))(V)
+    elif jax.default_backend() == "tpu":
         from .ops.pallas.spmv_stencil import pallas_stencil_matvec
 
         def matvec_of(Ap, V):
@@ -397,8 +620,15 @@ def _msolve_hostloop(A_pair, P_pair, F_pair, rtol, *, restart, maxiter):
             Ac = complexify(Ap)
             return jax.vmap(lambda v: stencil_matvec_flat(Ac, v))(V)
 
+    if isinstance(P_pair, RecomputeSweepingPreconditioner):
+        apply_multi = apply_recompute_multi
+    elif isinstance(P_pair, SweepingPreconditioner9):
+        apply_multi = apply_preconditioner9_multi
+    else:
+        apply_multi = apply_preconditioner_multi
+
     def M_of(R, V):
-        return apply_recompute_multi(R, V.reshape(K, L, n)).reshape(K, -1)
+        return apply_multi(R, V.reshape(K, L, n)).reshape(K, -1)
 
     B_pair = CArray(F_pair.re.reshape(K, -1), F_pair.im.reshape(K, -1))
     return gmres_hostloop_batched(matvec_of, A_pair, B_pair, M_of=M_of,
@@ -512,36 +742,68 @@ def _run_solver9(n, b, wave_num, const, alpha, problem, *, rtol, restart,
     is 5-point-only (SURVEY.md section 0)."""
     wf = jnp.result_type(float)
     t0 = time.perf_counter()
-    # single source of the sampled-layout decision: assembly receives the
-    # stride ONLY when sampling applies (it then always samples), and the
-    # factor stage's hm_sampled flag is this same boolean — the two can
-    # never drift (code-review round 4)
+    # single source of the sampled-layout decision: the SAMPLED setup runs
+    # the fused assemble+factor stage (subgrids materialize chunk-by-chunk
+    # inside the factor loop — the memory-lean production path); the exact
+    # stride-1 setup keeps the staged assemble-then-factor pipeline
     sampled = factor_stride > 1 and (n - b) > factor_stride
-    A9_pair, hm9_pair, f_pair = _assemble9_stage(
-        jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
-        jnp.asarray(alpha, wf), jnp.asarray(gamma, wf), n=n, b=b,
-        problem=problem, fidelity=fidelity, cdtype=cdtype,
-        factor_stride=factor_stride if sampled else 1)
     use_precond = precond != "none"
-    if precond == "moving_pml":
+    hostloop_n = (jax.default_backend() == "tpu"
+                  and n >= _hostloop_min_n())
+    if precond == "moving_pml" and sampled and hostloop_n:
+        # capacity envelope: host-driven chunk loop (the compiled setup
+        # nest kernel-faults at n = 2047 — _assemble_factor9_hostchunks)
+        A9_pair, f_pair, P_pair = _assemble_factor9_hostchunks(
+            wave_num, const, alpha, gamma, n=n, b=b, problem=problem,
+            fidelity=fidelity, cdtype=cdtype, factor_stride=factor_stride,
+            g_dtype=g_dtype, d2_replace=d2_replace,
+            setup_chunk=setup_chunk, g_compress=g_compress)
+    elif precond == "moving_pml" and sampled:
+        A9_pair, f_pair, P_pair = _assemble_factor9_stage(
+            jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
+            jnp.asarray(alpha, wf), jnp.asarray(gamma, wf), n=n, b=b,
+            problem=problem, fidelity=fidelity, cdtype=cdtype,
+            factor_stride=factor_stride, g_dtype=g_dtype,
+            d2_replace=d2_replace, setup_chunk=setup_chunk,
+            g_compress=g_compress)
+    elif precond == "moving_pml":
+        A9_pair, hm9_pair, f_pair = _assemble9_stage(
+            jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
+            jnp.asarray(alpha, wf), jnp.asarray(gamma, wf), n=n, b=b,
+            problem=problem, fidelity=fidelity, cdtype=cdtype,
+            factor_stride=1)
         P_pair = _factor9_stage(A9_pair, hm9_pair, b=b,
                                 d2_replace=d2_replace,
                                 setup_chunk=setup_chunk, g_dtype=g_dtype,
                                 factor_stride=factor_stride,
-                                hm_sampled=sampled,
-                                g_compress=g_compress and sampled)
+                                hm_sampled=False)
     elif precond == "none":
+        A9_pair, _, f_pair = _assemble9_stage(
+            jnp.asarray(wave_num, wf), jnp.asarray(const, wf),
+            jnp.asarray(alpha, wf), jnp.asarray(gamma, wf), n=n, b=b,
+            problem=problem, fidelity=fidelity, cdtype=cdtype,
+            factor_stride=1)
         P_pair = None
     else:
         raise ValueError(f"stencil='9pt' supports precond='moving_pml' or "
                          f"'none', got {precond!r}")
     _host_sync(P_pair if use_precond else A9_pair)
     t1 = time.perf_counter()
-    res_pair = _solve9_stage(A9_pair, P_pair, f_pair,
-                             jnp.asarray(rtol, wf), restart=restart,
-                             maxiter=maxiter, use_precond=use_precond,
-                             method=method, precond_refine=precond_refine,
-                             precision=precision, inner_rtol=inner_rtol)
+    if (method == "gmres" and hostloop_n and precision == "f32"
+            and not precond_refine):
+        # the compiled solver nest shares the setup's miscompile envelope
+        # (the 9pt apply's b~n/14 Thomas scans inside while(while(.)))
+        res_pair = _solve_hostloop(A9_pair, P_pair, f_pair, rtol,
+                                   restart=restart, maxiter=maxiter,
+                                   use_precond=use_precond)
+    else:
+        res_pair = _solve9_stage(A9_pair, P_pair, f_pair,
+                                 jnp.asarray(rtol, wf), restart=restart,
+                                 maxiter=maxiter, use_precond=use_precond,
+                                 method=method,
+                                 precond_refine=precond_refine,
+                                 precision=precision,
+                                 inner_rtol=inner_rtol)
     _host_sync(res_pair)
     t2 = time.perf_counter()
 
@@ -1124,26 +1386,47 @@ def run_multisolve(n: int, b: int, wave_nums, consts=None,
             A_np = tree_to_np(A_sh)
         elif stencil == "9pt":
             sampled = factor_stride > 1 and (n - b) > factor_stride
-            A_pair, hm_pair, _ = _assemble9_stage(
-                jnp.asarray(wn, wf), jnp.asarray(C, wf),
-                jnp.asarray(alpha, wf), jnp.asarray(stencil_gamma, wf),
-                n=n, b=b, problem=problem, fidelity=fidelity,
-                cdtype=cdtype,
-                factor_stride=factor_stride if sampled else 1)
-            P_pair = _factor9_stage(A_pair, hm_pair, b=b,
-                                    d2_replace=True,
-                                    setup_chunk=setup_chunk,
-                                    g_dtype=g_dtype,
-                                    factor_stride=factor_stride,
-                                    hm_sampled=sampled,
-                                    g_compress=g_compress and sampled)
+            hostloop_n = (jax.default_backend() == "tpu"
+                          and n >= _hostloop_min_n())
+            if sampled and hostloop_n:
+                A_pair, _, P_pair = _assemble_factor9_hostchunks(
+                    wn, C, alpha, stencil_gamma, n=n, b=b,
+                    problem=problem, fidelity=fidelity, cdtype=cdtype,
+                    factor_stride=factor_stride, g_dtype=g_dtype,
+                    setup_chunk=setup_chunk, g_compress=g_compress)
+            elif sampled:
+                A_pair, _, P_pair = _assemble_factor9_stage(
+                    jnp.asarray(wn, wf), jnp.asarray(C, wf),
+                    jnp.asarray(alpha, wf), jnp.asarray(stencil_gamma, wf),
+                    n=n, b=b, problem=problem, fidelity=fidelity,
+                    cdtype=cdtype, factor_stride=factor_stride,
+                    g_dtype=g_dtype, setup_chunk=setup_chunk,
+                    g_compress=g_compress)
+            else:
+                A_pair, hm_pair, _ = _assemble9_stage(
+                    jnp.asarray(wn, wf), jnp.asarray(C, wf),
+                    jnp.asarray(alpha, wf),
+                    jnp.asarray(stencil_gamma, wf),
+                    n=n, b=b, problem=problem, fidelity=fidelity,
+                    cdtype=cdtype, factor_stride=1)
+                P_pair = _factor9_stage(A_pair, hm_pair, b=b,
+                                        d2_replace=True,
+                                        setup_chunk=setup_chunk,
+                                        g_dtype=g_dtype,
+                                        factor_stride=factor_stride,
+                                        hm_sampled=False)
             _host_sync(P_pair)
             t1 = time.perf_counter()
-            res_pair = _msolve_stage(A_pair, P_pair, F_pair,
-                                     jnp.asarray(rtol, wf),
-                                     restart=restart, maxiter=maxiter,
-                                     precision=precision,
-                                     precond_refine=precond_refine)
+            if hostloop_n and precision == "f32" and not precond_refine:
+                res_pair = _msolve_hostloop(A_pair, P_pair, F_pair, rtol,
+                                            restart=restart,
+                                            maxiter=maxiter)
+            else:
+                res_pair = _msolve_stage(A_pair, P_pair, F_pair,
+                                         jnp.asarray(rtol, wf),
+                                         restart=restart, maxiter=maxiter,
+                                         precision=precision,
+                                         precond_refine=precond_refine)
             _host_sync(res_pair)
             t2 = time.perf_counter()
             A_np = tree_to_np(A_pair)
@@ -1341,19 +1624,15 @@ def _run_multisolve_amortized(n, b, wave_nums, const, alpha, problem,
                     g_compress=True, complex_dtype=cdtype)
             return A_sh, state
         if stencil == "9pt":
-            sampled = factor_stride > 1 and (n - b) > factor_stride
-            A9_pair, hm9_pair, _ = _assemble9_stage(
+            # amortized anchors are always compressed+strided -> fused
+            # assemble+factor (memory-lean sampled path)
+            A9_pair, _, P_pair = _assemble_factor9_stage(
                 jnp.asarray(wn, wf), jnp.asarray(const, wf),
                 jnp.asarray(alpha, wf), jnp.asarray(stencil_gamma, wf),
                 n=n, b=b, problem=problem, fidelity=fidelity,
-                cdtype=cdtype,
-                factor_stride=factor_stride if sampled else 1)
-            P_pair = _factor9_stage(A9_pair, hm9_pair, b=b,
-                                    d2_replace=True,
-                                    setup_chunk=setup_chunk,
-                                    g_dtype=g_dtype,
-                                    factor_stride=factor_stride,
-                                    hm_sampled=sampled, g_compress=True)
+                cdtype=cdtype, factor_stride=factor_stride,
+                g_dtype=g_dtype, setup_chunk=setup_chunk,
+                g_compress=True)
             return A9_pair, P_pair
         (A_pair, hm_pair, _), _ = _assemble_stage(
             jnp.asarray(wn, wf), jnp.asarray(const, wf),

@@ -217,6 +217,59 @@ def _coupling_triples(A: Stencil9):
     return lo, up
 
 
+def factor_samples9_assembling(n, b, const, eta, omega, h, c_full, *,
+                               gamma, pos, n_pad, g_dtype,
+                               setup_chunk: int = 128,
+                               fidelity: str = "corrected",
+                               complex_dtype=None) -> CArray:
+    """Chunked ASSEMBLE-THEN-FACTOR of the sampled 9-point subgrid family:
+    each fori_loop chunk assembles its own subgrids
+    (fd.stencil.build_hm_stencils9 with traced rows) and immediately
+    factors them into the sample-panel stack — the full nine-field
+    (Ms, b, n) family is never materialized.
+
+    Why this exists: at the production 9-point widths (b ~ n/14) even the
+    SAMPLED family is multi-GB (5.2 GB at n=2047/b=147 — found by the
+    round-5 flagship OOM: family + G + workspace + H_F Thomas stack
+    exceed one chip's HBM).  Assembly is cheap relative to the chunk's
+    Schur recursion (O(chunk b n) vs O(chunk b n^3)), so fusing it into
+    the loop trades nothing measurable for a ~Ms/chunk-fold smaller
+    assembly footprint."""
+    from ..fd import stencil as fd_stencil
+
+    cd = complex_dtype or c_full.dtype
+    Ms = int(pos.shape[0])
+    chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
+    chunk = min(chunk, Ms)
+    n_chunks = -(-Ms // chunk)
+    pos_arr = jnp.asarray(pos)
+    wf = jnp.finfo(jnp.result_type(cd, jnp.float32)).dtype
+
+    def pad_g(x):
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, n_pad - n))) \
+            .astype(g_dtype)
+
+    def body(i, bufs):
+        G_re, G_im = bufs
+        start = jnp.minimum(i * chunk, Ms - chunk)
+        rows = b + jax.lax.dynamic_slice_in_dim(pos_arr, start, chunk, 0)
+        hm_c = fd_stencil.build_hm_stencils9(
+            n, b, const, eta, omega, h, c_full, gamma=gamma,
+            fidelity=fidelity, complex_dtype=cd, rows=rows)
+        Tc = _schur_corner_inverse9(hm_c)
+        G_re = jax.lax.dynamic_update_slice_in_dim(
+            G_re, pad_g(Tc.real), start, 0)
+        G_im = jax.lax.dynamic_update_slice_in_dim(
+            G_im, pad_g(Tc.imag), start, 0)
+        return (G_re, G_im)
+
+    G_re, G_im = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.zeros((Ms, n_pad, n_pad), g_dtype),
+         jnp.zeros((Ms, n_pad, n_pad), g_dtype)))
+    return CArray(G_re, G_im)
+
+
 def preconditioner_from_samples9(A: Stencil9, b: int, G_samples: CArray, *,
                                  g_stride: int,
                                  d2_replace: bool = True
