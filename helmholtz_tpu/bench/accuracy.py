@@ -100,7 +100,12 @@ def measure_error(n, wave_num, stencil="5pt", *, b=None, const=60.0,
     xs = jnp.arange(1, n + 1, dtype=wf) * jnp.asarray(h, wf)
     X1, X2 = jnp.meshgrid(xs, xs, indexing="xy")     # [row=j->x2, col=i->x1]
     u_fn, f_fn = manufactured_fields(omega, sigma=sigma)
-    u_star = np.asarray(u_fn(X1, X2)).astype(np.complex128)
+    u_dev = u_fn(X1, X2)
+    # complex buffers cannot be device_get through this backend — fetch
+    # the split planes (core.complexlib convention)
+    u_star = (np.asarray(jax.device_get(jnp.real(u_dev)))
+              + 1j * np.asarray(jax.device_get(jnp.imag(u_dev)))
+              ).astype(np.complex128)
     f_grid = jnp.asarray(f_fn(X1, X2)).astype(cdtype)
     c_full = jnp.ones((n + 2, n + 2), wf)
 

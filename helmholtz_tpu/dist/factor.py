@@ -343,6 +343,7 @@ def distributed_setup9(mesh: Mesh, n: int, b: int, wave_num, const,
             n, b, C, eta, omega, h, c_full, gamma=gamma,
             fidelity=fidelity, complex_dtype=cdtype)
         TF = _schur_t_stack9(HF)
+        TF = CArray(TF.real.astype(gdt), TF.imag.astype(gdt))
         hf_lo, hf_up = _coupling_triples(HF)
         a_lo, a_up = _coupling_triples(A_loc)
 
@@ -397,7 +398,7 @@ def distributed_setup9(mesh: Mesh, n: int, b: int, wave_num, const,
                 G_loc = CArray(expand(Gs.re), expand(Gs.im))
 
         state = DistSweepState9(
-            G_pad=G_loc, TF=CArray.of(TF),
+            G_pad=G_loc, TF=TF,
             hf_l=CArray.of(hf_lo), hf_u=CArray.of(hf_up),
             a_l=CArray.of(a_lo), a_u=CArray.of(a_up),
             b=b, d2_replace=d2_replace,

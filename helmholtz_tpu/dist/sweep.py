@@ -99,7 +99,7 @@ def dist_apply_preconditioner9(S: DistSweepState9, f_local: jax.Array, *,
     d = jax.lax.axis_index(axis_name)
     jrows = d * n_loc + jnp.arange(n_loc)                  # global rows
 
-    TF = S.TF.cplx
+    TF = S.TF                       # split-real pair, upcast per Thomas step
     hf_l, hf_u = S.hf_l.cplx, S.hf_u.cplx
     a_l, a_u = S.a_l.cplx, S.a_u.cplx                      # (n_loc, 3, n)
     Gre, Gim = S.G_pad.re, S.G_pad.im

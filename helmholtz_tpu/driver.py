@@ -292,9 +292,10 @@ def _assemble_factor9_stage(wave_num, const, alpha, gamma, *, n, b,
         TF = _schur_t_stack9(HF)
         hf_lo, hf_up = _coupling_triples(HF)
         a_lo, a_up = _coupling_triples(A9)
+        TF_pair = CArray(TF.real.astype(gdt), TF.imag.astype(gdt))
         as_pair = lambda z: z if isinstance(z, CArray) else CArray.of(z)
         P = SweepingPreconditioner9(
-            G=as_pair(G), TF=as_pair(TF),
+            G=as_pair(G), TF=TF_pair,
             hf_l=CArray.of(hf_lo), hf_u=CArray.of(hf_up),
             a_l=CArray.of(a_lo), a_u=CArray.of(a_up),
             b=b, d2_replace=d2_replace, g_w=g_w, g_lo=g_lo,
@@ -303,9 +304,9 @@ def _assemble_factor9_stage(wave_num, const, alpha, gamma, *, n, b,
 
 
 @partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity",
-                                   "cdtype"))
+                                   "cdtype", "g_dtype"))
 def _assemble9_meta_stage(wave_num, const, alpha, gamma, *, n, b, problem,
-                          fidelity, cdtype):
+                          fidelity, cdtype, g_dtype="working"):
     """A9 + filtered f + the H_F9 factors and coupling triples — the
     fused setup minus the G factorization (the host-chunked capacity
     setup's stage A)."""
@@ -325,7 +326,12 @@ def _assemble9_meta_stage(wave_num, const, alpha, gamma, *, n, b, problem,
     TF = _schur_t_stack9(HF)
     hf_lo, hf_up = _coupling_triples(HF)
     a_lo, a_up = _coupling_triples(A9)
-    return pairify((A9, f9, TF, (hf_lo, hf_up), (a_lo, a_up)))
+    wf = jnp.finfo(jnp.result_type(cdtype, jnp.float32)).dtype
+    gdt = _G_DTYPES[g_dtype] or wf
+    from .core.complexlib import CArray
+    TF_pair = CArray(TF.real.astype(gdt), TF.imag.astype(gdt))
+    return (*pairify((A9, f9)), TF_pair,
+            pairify((hf_lo, hf_up)), pairify((a_lo, a_up)))
 
 
 @partial(jax.jit, static_argnames=("n", "b", "problem", "fidelity",
@@ -389,7 +395,8 @@ def _assemble_factor9_hostchunks(wave_num, const, alpha, gamma, *, n, b,
              jnp.asarray(alpha, wf), jnp.asarray(gamma, wf))
     A9_pair, f9_pair, TF, (hf_lo, hf_up), (a_lo, a_up) = \
         _assemble9_meta_stage(*wargs, n=n, b=b, problem=problem,
-                              fidelity=fidelity, cdtype=cdtype)
+                              fidelity=fidelity, cdtype=cdtype,
+                              g_dtype=g_dtype)
     M = n - b
     R = factor_stride
     pos = sample_positions(M, R)

@@ -132,35 +132,56 @@ def _schur_t_stack9(H: Stencil9):
 
 def _block_thomas_solve9(T, L9, U9, rhs):
     """Solve the 9-point block-tridiagonal system given its Schur-inverse
-    stack T (L, n, n) and per-layer coupling triples L9/U9 = (sub, diag,
-    sup) each (L, n); rhs (L, n).  Same scheme as the 5-point
+    stack T and per-layer coupling triples L9/U9 = (sub, diag, sup) each
+    (L, n); rhs (L, n).  Same scheme as the 5-point
     `_block_thomas_solve` with tridiagonal matvecs in place of the
-    diagonal scalings."""
+    diagonal scalings.
+
+    T may be a complex (L, n, n) array OR a split-real CArray (possibly
+    reduced-precision storage, e.g. bf16): the pair form is sliced
+    per scan step and upcast (L, n, n)-block-wise, so the whole complex
+    stack is never materialized — at the production 9-point widths TF is
+    multi-GB (4.9 GB f32 at n=2047/b=147) and the one-shot `.cplx`
+    conversion was the compile-OOM term of the capacity solve."""
     hi = jax.lax.Precision.HIGHEST
     Lsub, Ldia, Lsup = L9
     Usub, Udia, Usup = U9
+    pair = isinstance(T, CArray)
+    if pair:
+        wdt = jnp.promote_types(T.re.dtype, rhs.real.dtype)
+
+        def mat(T_parts, v):
+            tr, ti = T_parts
+            Tc = jax.lax.complex(tr.astype(wdt), ti.astype(wdt))
+            return jnp.matmul(Tc, v, precision=hi)
+
+        fwd_T = bwd_T = (T.re[:-1], T.im[:-1])
+        last_T = (T.re[-1], T.im[-1])
+    else:
+        def mat(T_parts, v):
+            return jnp.matmul(T_parts[0], v, precision=hi)
+
+        fwd_T = bwd_T = (T[:-1],)
+        last_T = (T[-1],)
 
     def fwd(y_prev, inputs):
-        T_prev, lsub, ldia, lsup, r_l = inputs
-        y = r_l - _tridiag_matvec(lsub, ldia, lsup,
-                                  jnp.matmul(T_prev, y_prev, precision=hi))
+        *T_parts, lsub, ldia, lsup, r_l = inputs
+        y = r_l - _tridiag_matvec(lsub, ldia, lsup, mat(T_parts, y_prev))
         return y, y
 
     _, y_rest = jax.lax.scan(
-        fwd, rhs[0], (T[:-1], Lsub[1:], Ldia[1:], Lsup[1:], rhs[1:]))
+        fwd, rhs[0], (*fwd_T, Lsub[1:], Ldia[1:], Lsup[1:], rhs[1:]))
     y = jnp.concatenate([rhs[:1], y_rest], axis=0)
 
-    u_last = jnp.matmul(T[-1], y[-1], precision=hi)
+    u_last = mat(last_T, y[-1])
 
     def bwd(u_next, inputs):
-        T_l, usub, udia, usup, y_l = inputs
-        u = jnp.matmul(
-            T_l, y_l - _tridiag_matvec(usub, udia, usup, u_next),
-            precision=hi)
+        *T_parts, usub, udia, usup, y_l = inputs
+        u = mat(T_parts, y_l - _tridiag_matvec(usub, udia, usup, u_next))
         return u, u
 
     _, u_rest = jax.lax.scan(
-        bwd, u_last, (T[:-1], Usub[:-1], Udia[:-1], Usup[:-1], y[:-1]),
+        bwd, u_last, (*bwd_T, Usub[:-1], Udia[:-1], Usup[:-1], y[:-1]),
         reverse=True)
     return jnp.concatenate([u_rest, u_last[None]], axis=0)
 
@@ -289,9 +310,12 @@ def preconditioner_from_samples9(A: Stencil9, b: int, G_samples: CArray, *,
     TF = _schur_t_stack9(HF)
     hf_lo, hf_up = _coupling_triples(HF)
     a_lo, a_up = _coupling_triples(A)
+    gdt = (G_samples.re.dtype if isinstance(G_samples, CArray)
+           else G_samples.real.dtype)
+    TF_pair = CArray(TF.real.astype(gdt), TF.imag.astype(gdt))
     as_pair = lambda z: z if isinstance(z, CArray) else CArray.of(z)
     return SweepingPreconditioner9(
-        G=as_pair(G_samples), TF=as_pair(TF),
+        G=as_pair(G_samples), TF=TF_pair,
         hf_l=CArray.of(hf_lo), hf_u=CArray.of(hf_up),
         a_l=CArray.of(a_lo), a_u=CArray.of(a_up),
         b=b, d2_replace=d2_replace, g_w=g_w, g_lo=g_lo, g_stride=g_stride)
@@ -373,9 +397,12 @@ def setup_preconditioner9(A: Stencil9, hm: Stencil9, b: int, *,
     hf_lo, hf_up = _coupling_triples(HF)
     a_lo, a_up = _coupling_triples(A)
 
+    # TF stored at the G dtype (bf16 halves the 9-point F-band stack —
+    # 4.9 GB f32 at n=2047/b=147; _block_thomas_solve9 upcasts per step)
+    TF_pair = CArray(TF.real.astype(g_dtype), TF.imag.astype(g_dtype))
     as_pair = lambda z: z if isinstance(z, CArray) else CArray.of(z)
     return SweepingPreconditioner9(
-        G=as_pair(G), TF=as_pair(TF),
+        G=as_pair(G), TF=TF_pair,
         hf_l=CArray.of(hf_lo), hf_u=CArray.of(hf_up),
         a_l=CArray.of(a_lo), a_u=CArray.of(a_up),
         b=b, d2_replace=d2_replace, g_w=g_w, g_lo=g_lo, g_stride=g_stride)
@@ -395,7 +422,7 @@ def apply_preconditioner9(P: SweepingPreconditioner9,
     5-point apply)."""
     b = P.b
     L, n = P.grid_shape
-    TF = P.TF.cplx
+    TF = P.TF                        # split-real pair, upcast per Thomas step
     hf_l, hf_u = P.hf_l.cplx, P.hf_u.cplx
     a_l, a_u = P.a_l.cplx, P.a_u.cplx
     Gre, Gim = P.G.re, P.G.im
@@ -520,7 +547,7 @@ def apply_preconditioner9_multi(P: SweepingPreconditioner9, F: jax.Array,
     from ..ops.pallas.sweep import pallas_sweep
 
     interp = jax.default_backend() == "cpu"
-    TF = P.TF.cplx
+    TF = P.TF                        # split-real pair, upcast per Thomas step
     hf_l, hf_u = P.hf_l.cplx, P.hf_u.cplx
     a_l, a_u = P.a_l.cplx, P.a_u.cplx
     trip = lambda t: (t[..., 0, :], t[..., 1, :], t[..., 2, :])
