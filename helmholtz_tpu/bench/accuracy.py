@@ -106,32 +106,43 @@ def measure_error(n, wave_num, stencil="5pt", *, b=None, const=60.0,
     u_star = (np.asarray(jax.device_get(jnp.real(u_dev)))
               + 1j * np.asarray(jax.device_get(jnp.imag(u_dev)))
               ).astype(np.complex128)
-    f_grid = jnp.asarray(f_fn(X1, X2)).astype(cdtype)
+    f_grid = f_fn(X1, X2)
     c_full = jnp.ones((n + 2, n + 2), wf)
 
+    # everything complex runs under jit (eager complex dispatch is not
+    # reliably implemented through the remote TPU backend) and crosses
+    # the boundary as split-real pairs
+    wn_t = jnp.asarray(wave_num, wf)
+    al_t = jnp.asarray(alpha, wf)
+    f_pair0 = jax.jit(pairify)(f_grid)
+
+    @jax.jit
+    def _setup(wn, al, fp):
+        om = (2.0 * jnp.pi * wn + 1j * al).astype(cdtype)
+        f = jax.lax.complex(fp.re, fp.im).astype(cdtype)
+        if stencil == "9pt":
+            A = fd_stencil.build_a_stencil9(
+                n, b, const, eta, om, h, c_full, gamma=gamma,
+                fidelity="corrected", complex_dtype=cdtype)
+            hm = fd_stencil.build_hm_stencils9(
+                n, b, const, eta, om, h, c_full, gamma=gamma,
+                fidelity="corrected", complex_dtype=cdtype)
+            P = setup_preconditioner9(A, hm, b)
+            # the compact scheme's system is A9 u = M f
+            f = fd_stencil.mass_filter9(n, b, const, eta, om, h, f)
+        else:
+            A = fd_stencil.build_a_stencil(
+                n, b, const, eta, om, h, c_full,
+                fidelity="corrected", complex_dtype=cdtype)
+            hm = fd_stencil.build_hm_stencils(
+                n, b, const, eta, om, h, c_full,
+                fidelity="corrected", complex_dtype=cdtype)
+            P = setup_preconditioner(A, hm, b)
+        return pairify((A, P, f))
+
+    solve = _solve9_stage if stencil == "9pt" else _solve_stage
     t0 = time.time()
-    if stencil == "9pt":
-        A = fd_stencil.build_a_stencil9(
-            n, b, const, eta, omega, h, c_full, gamma=gamma,
-            fidelity="corrected", complex_dtype=cdtype)
-        hm = fd_stencil.build_hm_stencils9(
-            n, b, const, eta, omega, h, c_full, gamma=gamma,
-            fidelity="corrected", complex_dtype=cdtype)
-        P = setup_preconditioner9(A, hm, b)
-        # the compact scheme's system is A9 u = M f
-        f_grid = fd_stencil.mass_filter9(n, b, const, eta, omega, h,
-                                         f_grid)
-        solve = _solve9_stage
-    else:
-        A = fd_stencil.build_a_stencil(
-            n, b, const, eta, omega, h, c_full,
-            fidelity="corrected", complex_dtype=cdtype)
-        hm = fd_stencil.build_hm_stencils(
-            n, b, const, eta, omega, h, c_full,
-            fidelity="corrected", complex_dtype=cdtype)
-        P = setup_preconditioner(A, hm, b)
-        solve = _solve_stage
-    A_pair, P_pair, f_pair = pairify((A, P, f_grid))
+    A_pair, P_pair, f_pair = _setup(wn_t, al_t, f_pair0)
     init_s = time.time() - t0
 
     precision = "ir-df32" if jnp.dtype(cdtype) == jnp.complex64 else "f32"

@@ -260,11 +260,15 @@ def measure_setup(n: int = 1023, b: int = 12, *, factor_stride: int | None
         t_exp = 0.0
 
     # --- H_F --------------------------------------------------------------
+    from ..core.complexlib import pairify
+
     @jax.jit
     def hf(A_p):
         A = complexify(A_p)
         HF = fd_stencil.extract_hf_stencil(A, b)
-        return _schur_t_stack(HF)
+        # pairs at rest: a complex jit OUTPUT would be a resident complex
+        # buffer, which this backend cannot hold (core.complexlib)
+        return pairify(_schur_t_stack(HF))
     t_hf, _ = wall(hf, A_pair)
 
     # --- models -----------------------------------------------------------

@@ -404,7 +404,12 @@ def _assemble_factor9_hostchunks(wave_num, const, alpha, gamma, *, n, b,
     n_pad = (-(-n // 128) * 128) if jax.default_backend() == "tpu" else n
     rdt = jnp.finfo(jnp.result_type(cdtype, jnp.float32)).dtype
     gdt = _G_DTYPES[g_dtype] or rdt
-    chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
+    # the capacity envelope runs close to HBM: keep the conservative
+    # 9.0e7-word workspace here (the env knob can raise it) — the
+    # general paths use the larger setup_workspace_words() default
+    from .precond.sweeping import setup_workspace_words
+    chunk = max(4, min(setup_chunk,
+                       min(setup_workspace_words(), int(9.0e7)) // (n * n)))
     chunk = min(chunk, Ms)
     G_re = jnp.zeros((Ms, n_pad, n_pad), gdt)
     G_im = jnp.zeros((Ms, n_pad, n_pad), gdt)

@@ -48,6 +48,28 @@ from ..fd import stencil as fd_stencil
 from ..ops.dense import batched_inverse
 
 
+def setup_workspace_words() -> int:
+    """Complex-word budget for the batched-inverse setup workspace — the
+    chunk clamp is `budget // n^2` subgrids per Gauss-Jordan call.
+
+    Default 3.2e7 words (round 5; was 9.0e7): the measured setup roofline
+    (bench.roofline.measure_setup, the round-5 budget sweep at n = 1023)
+    is NON-monotone in the chunk — 1.1e7 -> 14.6, 2.2e7 -> 16.9,
+    3.2e7 -> 20.0, 9e7 -> 16.5, 1.35e8 -> 12.7 effective TF/s — i.e. the
+    blocked Gauss-Jordan is working-set-bound, not batch-starved, and
+    ~0.25 GB of complex workspace is its sweet spot on this chip
+    (setup-factor wall 1.50 s vs 1.82 s at the old clamp).  Overridable
+    (HELMHOLTZ_TPU_SETUP_WORKSPACE_WORDS) for memory-tight or future
+    backends; the capacity flagships budget ~3 * 8 bytes per word."""
+    import os
+
+    raw = os.environ.get("HELMHOLTZ_TPU_SETUP_WORKSPACE_WORDS", "")
+    try:
+        return int(float(raw)) if raw else int(3.2e7)
+    except ValueError:
+        return int(3.2e7)
+
+
 def _g_dot(g, V):
     """G-panel contraction handling reduced-precision G storage: f32 G runs
     at HIGHEST precision (the bf16 MXU default degrades the sweep); bf16 G
@@ -304,7 +326,7 @@ def factor_corner_inverses(hm, *, n_pad: int, g_dtype,
                                corner_fn=corner_fn)
     # bound peak setup memory: a few (chunk, n, n) complex buffers live
     # inside the batched inverse, so scale the chunk down with the grid.
-    setup_chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
+    setup_chunk = max(4, min(setup_chunk, setup_workspace_words() // (n * n)))
 
     def pad_g(x, start):
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, n_pad - n)))

@@ -258,9 +258,11 @@ def factor_samples9_assembling(n, b, const, eta, omega, h, c_full, *,
     assembly footprint."""
     from ..fd import stencil as fd_stencil
 
+    from .sweeping import setup_workspace_words
+
     cd = complex_dtype or c_full.dtype
     Ms = int(pos.shape[0])
-    chunk = max(4, min(setup_chunk, int(9.0e7) // (n * n)))
+    chunk = max(4, min(setup_chunk, setup_workspace_words() // (n * n)))
     chunk = min(chunk, Ms)
     n_chunks = -(-Ms // chunk)
     pos_arr = jnp.asarray(pos)
