@@ -325,8 +325,13 @@ def factor_corner_inverses(hm, *, n_pad: int, g_dtype,
                                schur_block=schur_block, stride=stride,
                                corner_fn=corner_fn)
     # bound peak setup memory: a few (chunk, n, n) complex buffers live
-    # inside the batched inverse, so scale the chunk down with the grid.
-    setup_chunk = max(4, min(setup_chunk, setup_workspace_words() // (n * n)))
+    # inside the batched inverse, so scale the chunk down with the grid —
+    # but keep at least ~16 matrices per Gauss-Jordan call (the round-5
+    # chunk sweep: throughput falls off below ~20 as well as above ~40;
+    # at n = 2047 the word budget alone would give chunk 7 and a ~12%
+    # slower setup than chunk 16-21, measured)
+    setup_chunk = max(4, min(setup_chunk,
+                             max(16, setup_workspace_words() // (n * n))))
 
     def pad_g(x, start):
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, n_pad - n)))

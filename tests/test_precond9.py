@@ -381,6 +381,21 @@ def test_multisolve_9pt_freq_amortized_matches_exact_setup():
             assert abs(ia - ib) <= 1, (rb["wave_num"], ib, ia)
 
 
+def test_run_solver_9pt_bf16_state_parity():
+    """bf16 G + bf16 block-Thomas TF (round 5: the capacity layout) keep
+    iteration counts within +-1 of the working-precision state."""
+    from helmholtz_tpu.driver import run_solver
+
+    rw = run_solver(63, 12, 4.0, 61.0, stencil="9pt", rtol=1e-3,
+                    maxiter=60, complex_dtype=jnp.complex64)
+    rb = run_solver(63, 12, 4.0, 61.0, stencil="9pt", rtol=1e-3,
+                    maxiter=60, complex_dtype=jnp.complex64,
+                    g_dtype="bf16")
+    assert rb.converged
+    assert abs(rb.iterations - rw.iterations) <= 1
+    assert rb.true_residual < 5e-3
+
+
 def test_9pt_iteration_parity_vs_scipy_oracle():
     """Iteration parity against the INDEPENDENT scipy/SuperLU 9-point
     oracle (bench.ref_oracle.run_oracle9 — a different lineage: per-m
