@@ -48,8 +48,23 @@ surfaces as JaxRuntimeError UNAVAILABLE "TPU worker process crashed"):
              projections + row writes)   CRASH    —
     arnoldi + GJ base case in Pallas     CRASH    —
 
+ROUND-5 ADDITIONS (MISCOMPILE_ENVELOPE.jsonl holds the regenerated
+records; docs/miscompile_envelope.py re-runs the matrix in one command):
+  * the STANDALONE apply (no solver while-nest) also crashes from
+    n >= ~2815 — round 3's "apply ok at every n" was only probed through
+    2047, so the program-size envelope applies to the apply's own
+    fori(scan(GJ)) nest at sufficient size (this closes the recompute
+    niche window beyond compressed's ~2559 capacity limit:
+    CAPACITY_RECOMPUTE.jsonl recompute_niche_frontier_round5);
+  * the 9-POINT fused assemble+factor setup nest (fori(assemble + scan +
+    GJ)) kernel-faults at n = 2047 / b = 147 — the host-chunked setup
+    (driver._assemble_factor9_hostchunks: one small program per chunk,
+    donated in-place G writes) is the working capacity setup, mirroring
+    the hostloop workaround on the solve side.
+
 CONCLUSION: the failure scales with TOTAL COMPILED PROGRAM SIZE inside
-the while-nest, not with any specific construct.  At n = 1407 one
+loop nests (solver while-nests first, large fori/scan bodies at larger
+n), not with any specific construct.  At n = 1407 one
 instantiation of the chunked apply inside while(while(.)) runs, and
 adding EITHER a second instantiation (gmres's recomputed-residual check)
 OR the Krylov-basis machinery tips it over; at n = 2047 even the single
