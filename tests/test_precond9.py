@@ -396,6 +396,57 @@ def test_run_solver_9pt_bf16_state_parity():
     assert rb.true_residual < 5e-3
 
 
+def test_hostchunk_setup9_matches_fused():
+    """The host-driven chunked capacity setup (one small program per
+    chunk, donated G writes — the n=2047 workaround for the backend's
+    program-size miscompile) is leaf-exact vs the fused in-jit setup."""
+    import jax.numpy as jnp
+
+    from helmholtz_tpu.driver import (_assemble_factor9_hostchunks,
+                                      _assemble_factor9_stage)
+
+    kw = dict(n=63, b=12, problem="c1_f1", fidelity="corrected",
+              cdtype=jnp.complex128, factor_stride=4, g_dtype="working",
+              setup_chunk=16, g_compress=True)
+    A1, f1, P1 = _assemble_factor9_hostchunks(4.0, 61.0, 2.0, 2.0 / 3.0,
+                                              **kw)
+    A2, f2, P2 = _assemble_factor9_stage(
+        jnp.asarray(4.0), jnp.asarray(61.0), jnp.asarray(2.0),
+        jnp.asarray(2.0 / 3.0), **kw)
+    np.testing.assert_allclose(P1.G.to_np(), P2.G.to_np(),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(P1.TF.to_np(), P2.TF.to_np(),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(P1.g_lo), np.asarray(P2.g_lo))
+    np.testing.assert_allclose(f1.to_np(), f2.to_np(), rtol=1e-12)
+    for name in ("cc", "csw", "cne"):
+        np.testing.assert_allclose(getattr(A1, name).to_np(),
+                                   getattr(A2, name).to_np(), rtol=1e-13)
+
+
+def test_sweep_checkpoint_does_not_cross_stencils():
+    """A 5pt checkpoint must never satisfy a 9pt resume (advisor round 4
+    medium: the old key omitted the solver-defining knobs)."""
+    from helmholtz_tpu.driver import multisolve_key_config
+    from helmholtz_tpu.solve.resumable import SweepCheckpoint
+
+    t5 = multisolve_key_config(63, 12, "c1_f1", 1e-3, 2)
+    t9 = multisolve_key_config(63, 12, "c1_f1", 1e-3, 2, stencil="9pt")
+    rec5 = {**t5, "wave_num": 4.0, "const": 61.0}
+    ck = SweepCheckpoint("")
+    ck.records = [rec5]
+    # the 5pt record matches the 5pt template...
+    keys5 = {SweepCheckpoint.key_of(r) for r in ck.matching(t5)}
+    assert SweepCheckpoint.key_of(
+        {**t5, "wave_num": 4.0, "const": 61.0}) in keys5
+    # ...and is invisible to the 9pt template
+    assert ck.matching(t9) == []
+    # likewise across precision and g_dtype
+    t_ir = multisolve_key_config(63, 12, "c1_f1", 1e-3, 2,
+                                 precision="ir-df32")
+    assert ck.matching(t_ir) == []
+
+
 def test_9pt_iteration_parity_vs_scipy_oracle():
     """Iteration parity against the INDEPENDENT scipy/SuperLU 9-point
     oracle (bench.ref_oracle.run_oracle9 — a different lineage: per-m
