@@ -204,6 +204,27 @@ def test_multisolve_9pt_mesh_matches_single_chip():
         assert abs(i_s - i_m) <= 1
 
 
+def test_multisolve_9pt_mesh_amortized_matches_exact():
+    """Omega-amortized DISTRIBUTED 9-point sweep (distributed_assemble9 +
+    device-local omega-lerp of anchor sample shards): iteration counts
+    match the per-frequency-refactored distributed sweep within +-1."""
+    from helmholtz_tpu.driver import run_multisolve
+
+    freqs = [2.0, 2.02, 2.04]
+    kw = dict(consts=[C], n_sources=2, rtol=1e-3, maxiter=60,
+              stencil="9pt", factor_stride=4, g_compress=True,
+              mesh_devices=NDEV)
+    base = run_multisolve(N, B, freqs, **kw)
+    amort = run_multisolve(N, B, freqs, freq_anchor_every=2, **kw)
+    assert [r["setup_mode"] for r in amort] == \
+        ["factor", "omega_lerp", "factor"]
+    for rb, ra in zip(base, amort):
+        assert ra["converged"] == [True, True]
+        assert ra["mesh_devices"] == NDEV
+        for ib, ia in zip(rb["iterations"], ra["iterations"]):
+            assert abs(ia - ib) <= 1, (rb["wave_num"], ib, ia)
+
+
 def test_dist9_ir_df32_reaches_tight_tolerance():
     """Distributed 9-point ir-df32 (halo compensated 9-point residual):
     converges at rtol 1e-5 in complex64 with a true residual to match."""
