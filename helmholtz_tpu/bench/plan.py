@@ -71,6 +71,64 @@ def plan(n: int, b: int = 12, batch: int = 1, restart: int = 20,
     }
 
 
+def plan9(n: int, b: int | None = None, batch: int = 1, restart: int = 20,
+          hbm_gb: float = 16.0, pad_lanes: bool = True,
+          g_dtype: str = "bf16", factor_stride: int = 8,
+          g_compress: bool = True) -> dict:
+    """Capacity plan for the 9-POINT path (round 5): b defaults to the
+    enforced ~n/14 recipe, the block-Thomas TF stack is budgeted at the
+    G dtype (it is 2 * b * n^2 — the term that OOM'd the first n=2047
+    flagship attempt at f32), the sampled nine-field family is a
+    TRANSIENT chunk (the fused/host-chunked setups assemble inside the
+    factor loop), and the compressed sample panels are the at-rest G.
+    Also reports whether the size falls in the hostloop/host-chunked
+    envelope (driver._hostloop_min_n default)."""
+    if b is None:
+        b = max(12, -(-n // 14))
+    n_pad = -(-n // 128) * 128 if pad_lanes else n
+    M = n - b
+    R = max(1, factor_stride)
+    g_item = {"f32": 4, "working": 4, "bf16": 2}[g_dtype]
+    f32 = 4
+    c64 = 8
+    N = n * n
+    Ms = (M - 1) // R + 2 if R > 1 else M
+    panels = Ms if (R > 1 and g_compress) else M
+    g_bytes = 2 * panels * n_pad * n_pad * g_item
+    tf_bytes = 2 * b * n * n * g_item
+    a9_bytes = 2 * 9 * N * f32
+    # fused/host-chunked setup: one chunk of the sampled family + the
+    # batched-inverse workspace are transient (precond.sweeping
+    # setup_workspace_words clamp, floor 16)
+    from ..precond.sweeping import setup_workspace_words
+    chunk = max(4, min(128, max(16, setup_workspace_words() // N)))
+    asm_chunk = 9 * chunk * b * n * c64
+    setup_ws = 3 * chunk * N * c64
+    krylov = (restart + 2) * N * c64 * batch
+    at_rest = g_bytes + tf_bytes + a9_bytes + krylov
+    peak_setup = g_bytes + tf_bytes + a9_bytes + asm_chunk + setup_ws
+    hbm = hbm_gb * 1e9
+    fits = max(at_rest, peak_setup) < 0.92 * hbm
+    return {
+        "n": n, "b": b, "batch": batch, "n_pad": n_pad,
+        "g_dtype": g_dtype, "factor_stride": R,
+        "g_compress": bool(g_compress), "g_panels_stored": int(panels),
+        "g_stack_gb": round(g_bytes / 1e9, 2),
+        "tf_stack_gb": round(tf_bytes / 1e9, 2),
+        "operator_gb": round(a9_bytes / 1e9, 2),
+        "krylov_gb": round(krylov / 1e9, 2),
+        "setup_transient_gb": round((asm_chunk + setup_ws) / 1e9, 2),
+        "peak_gb": round(max(at_rest, peak_setup) / 1e9, 2),
+        "hbm_gb": hbm_gb,
+        "fits_single_chip": bool(fits),
+        "hostloop_envelope": bool(n >= 1407),
+        "note": ("b defaults to the enforced ~n/14 recipe "
+                 "(driver.min_pml_width9); TF budgeted at g_dtype "
+                 "(round-5 layout); at n >= 1407 setup runs host-chunked "
+                 "and solves host-driven (miscompile envelope)"),
+    }
+
+
 def plan_distributed(n: int, b: int = 12, devices: int = 8,
                      factor_stride: int = 8, g_dtype: str = "bf16",
                      g_compress: bool = True, pad_lanes: bool = True,
@@ -131,7 +189,15 @@ def main(argv=None):
     ap.add_argument("--devices", type=int, default=0,
                     help="report the distributed per-device budget too")
     ap.add_argument("--factor-stride", type=int, default=1)
+    ap.add_argument("--stencil", default="5pt", choices=["5pt", "9pt"])
     args = ap.parse_args(argv)
+    if args.stencil == "9pt":
+        out = plan9(args.n, None if args.b == 12 else args.b, args.batch,
+                    args.restart, args.hbm_gb, g_dtype=args.g_dtype,
+                    factor_stride=(args.factor_stride
+                                   if args.factor_stride > 1 else 8))
+        print(json.dumps(out, indent=1))
+        return 0
     out = plan(args.n, args.b, args.batch, args.restart,
                args.hbm_gb, g_dtype=args.g_dtype,
                g_compress_stride=args.g_compress_stride)

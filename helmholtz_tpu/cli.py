@@ -394,10 +394,14 @@ def main(argv=None):
     p.add_argument("--hbm-gb", type=float, default=16.0)
     p.add_argument("--g-dtype", default="f32",
                    choices=["f32", "bf16", "working"])
+    p.add_argument("--stencil", default="5pt", choices=["5pt", "9pt"],
+                   help="9pt: budget the 9-point layout (b ~ n/14 recipe, "
+                        "bf16 block-Thomas stack, sampled-family setup)")
     p.set_defaults(fn=lambda a: __import__(
         "helmholtz_tpu.bench.plan", fromlist=["main"]).main(
             ["--n", str(a.n), "--b", str(a.b), "--batch", str(a.batch),
-             "--hbm-gb", str(a.hbm_gb), "--g-dtype", a.g_dtype]))
+             "--hbm-gb", str(a.hbm_gb), "--g-dtype", a.g_dtype,
+             "--stencil", a.stencil]))
 
     p = sub.add_parser("bench-spmv", help="SpMV roofline measurement")
     p.add_argument("--n", type=int, default=1023)

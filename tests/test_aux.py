@@ -244,3 +244,19 @@ def test_cli_multisolve_amortized_checkpoint_resume(tmp_path):
     assert sorted(r["wave_num"] for r in recs2) == [4.0, 4.1, 4.2]
     again = [r for r in recs2 if r["wave_num"] == 4.1]
     assert again[0]["setup_mode"] == "omega_lerp"
+
+
+def test_plan9_matches_measured_flagship():
+    """The 9-point capacity planner reproduces the measured round-5
+    flagship budget: n=2047 compressed bf16 fits one chip with ~4.0 GB of
+    sample panels + ~2.5 GB bf16 TF (NINEPOINT.jsonl g_bytes_at_rest),
+    and n=3071 does not fit."""
+    from helmholtz_tpu.bench.plan import plan9
+
+    p = plan9(2047)
+    assert p["b"] == 147
+    assert p["fits_single_chip"]
+    assert abs(p["g_stack_gb"] - 4.0) < 0.3          # measured 4.0 GB
+    assert p["hostloop_envelope"]
+    assert not plan9(3071)["fits_single_chip"]
+    assert not plan9(1023)["hostloop_envelope"]
